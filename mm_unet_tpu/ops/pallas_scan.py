@@ -1,0 +1,341 @@
+"""Pallas TPU kernel for the selective-scan (Mamba S6) recurrence.
+
+TPU-first redesign of the reference CUDA kernels
+(`/root/reference/requirements/Mamba/mamba/csrc/selective_scan/selective_scan_fwd_kernel.cuh`
+and `selective_scan_bwd_kernel.cuh`):
+
+- The recurrence `h_t = a_t h_{t-1} + b_t` is computed as a **chunked
+  Hillis–Steele (log-depth) associative scan along the lane axis**, directly
+  mirroring the CUDA design: the sequence is processed in chunks of `T` tokens
+  (CUDA `kChunkSize`, `selective_scan_fwd_kernel.cuh:131`), the running prefix
+  state is carried across chunks in VMEM scratch (CUDA carries it in shared
+  memory, `:95,240-258`), and per-chunk entry states are saved to HBM for the
+  backward pass (CUDA writes them to `x`, `:109,255-257`).
+- The backward pass re-processes chunks in **reverse grid order**, recomputes
+  the intra-chunk forward states from the saved chunk-entry state, and runs a
+  reverse (suffix) scan for the adjoint state — the same structure as CUDA's
+  `BlockReverseScan` (`selective_scan_bwd_kernel.cuh:271,364`).
+- The discretised tensors `exp(Δ·A)` and `Δ·B·u` of logical shape (B, D, L, N)
+  are **never materialised in HBM**; they exist one (D_blk, N, T) tile at a
+  time in VMEM. State math is float32 (as in CUDA); inputs may be bf16.
+
+Layout: within a chunk all working arrays are (D_blk, N, T) — N on sublanes,
+T on lanes, D_blk as the looped leading dim — so every scan step is a full-tile
+VPU op and the combine runs in log2(T) steps instead of T sequential steps.
+
+Only the *core* scan (u, Δ, A, B, C → y) is inside the kernel/custom-VJP
+boundary; Δ-bias/softplus, the D-skip and the silu(z) gate are cheap
+elementwise ops left to XLA, which fuses them with the surrounding
+transposes/casts (their VJPs come for free from JAX autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mm_unet_tpu.ops.selective_scan import _finalize, _prep_delta
+
+Array = jax.Array
+
+DEFAULT_CHUNK = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _hillis_steele_fwd(a: Array, b: Array) -> tuple[Array, Array]:
+    """Inclusive prefix scan of (a, b) pairs along the lane axis (axis=2).
+
+    Combine: (aL, bL) . (aR, bR) = (aL*aR, bL*aR + bR). After the scan,
+    a[t] = prod_{0..t} a, b[t] = h_t assuming h_{-1} = 0.
+    """
+    T = a.shape[2]
+    s = 1
+    while s < T:
+        a_prev = jnp.concatenate([jnp.ones_like(a[:, :, :s]), a[:, :, :-s]], axis=2)
+        b_prev = jnp.concatenate([jnp.zeros_like(b[:, :, :s]), b[:, :, :-s]], axis=2)
+        b = a * b_prev + b
+        a = a * a_prev
+        s *= 2
+    return a, b
+
+
+def _hillis_steele_rev(a_sh: Array, g: Array) -> tuple[Array, Array]:
+    """Inclusive suffix scan: g[t] = sum_{r>=t} (prod_{q=t..r-1} a_sh[q]) g[r].
+
+    Also returns aa[t] = prod_{q=t..T-1} a_sh[q] (for the cross-chunk boundary
+    term). This is the adjoint recurrence g_t = a_sh[t] * g_{t+1} + ginit_t.
+    """
+    T = a_sh.shape[2]
+    aa = a_sh
+    s = 1
+    while s < T:
+        g_next = jnp.concatenate([g[:, :, s:], jnp.zeros_like(g[:, :, :s])], axis=2)
+        aa_next = jnp.concatenate([aa[:, :, s:], jnp.ones_like(aa[:, :, :s])], axis=2)
+        g = g + aa * g_next
+        aa = aa * aa_next
+        s *= 2
+    return aa, g
+
+
+def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_ref):
+    """One (batch b, dim-block s, chunk l) grid step of the forward scan.
+
+    h_ref: (D_blk, N, 1) f32 scratch carrying the running state across chunks.
+    """
+    li = pl.program_id(2)
+    nl = pl.num_programs(2)
+
+    @pl.when(li == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    # Save the chunk-entry state for the backward pass (CUDA: x buffer).
+    st_ref[0] = h_ref[...]
+
+    u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
+    dt = dt_ref[0].astype(jnp.float32)  # (D_blk, T)
+    Bv = B_ref[0].astype(jnp.float32)  # (N, T)
+    Cv = C_ref[0].astype(jnp.float32)  # (N, T)
+    A = A_ref[...].astype(jnp.float32)  # (D_blk, N)
+
+    a = jnp.exp(dt[:, None, :] * A[:, :, None])  # (D_blk, N, T)
+    b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
+
+    a_sc, b_sc = _hillis_steele_fwd(a, b)
+    h = b_sc + a_sc * h_ref[...]  # carry-in broadcast over lanes
+    y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
+    h_ref[...] = h[:, :, -1:]
+
+    @pl.when(li == nl - 1)
+    def _():
+        last_ref[0] = h_ref[...]
+
+
+def _bwd_kernel(
+    u_ref, dt_ref, A_ref, B_ref, C_ref, st_ref, dy_ref,
+    du_ref, ddt_ref, dA_ref, dB_ref, dC_ref,
+    g_ref, af_ref,
+):
+    """One (b, s, reversed chunk) grid step of the backward scan.
+
+    g_ref: (D_blk, N, 1) adjoint-state carry dL/dh at the later chunk's first
+    timestep; af_ref: (D_blk, N, 1) the decay a at that timestep.
+    """
+    li = pl.program_id(2)  # 0 = last chunk (specs map to reversed order)
+    nl = pl.num_programs(2)
+
+    @pl.when(li == 0)
+    def _():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        af_ref[...] = jnp.zeros_like(af_ref)
+
+    u = u_ref[0].astype(jnp.float32)
+    dt = dt_ref[0].astype(jnp.float32)
+    Bv = B_ref[0].astype(jnp.float32)
+    Cv = C_ref[0].astype(jnp.float32)
+    A = A_ref[...].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
+    h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
+
+    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    dtu = dt * u  # (D_blk, T)
+    b = dtu[:, None, :] * Bv[None, :, :]
+
+    # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
+    a_sc, b_sc = _hillis_steele_fwd(a, b)
+    h = b_sc + a_sc * h_in  # (D_blk, N, T)
+    h_prev = jnp.concatenate([h_in * jnp.ones_like(h[:, :, :1]), h[:, :, :-1]], axis=2)
+
+    # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
+    # boundary comes from the previously processed (later) chunk's first decay.
+    ginit = dy[:, None, :] * Cv[None, :, :]
+    a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
+    aa, g = _hillis_steele_rev(a_sh, ginit)
+    g = g + aa * g_ref[...]
+
+    # Update carries for the next (earlier) chunk.
+    g_ref[...] = g[:, :, :1]
+    af_ref[...] = a[:, :, :1]
+
+    gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
+    gah = g * a * h_prev  # (D_blk, N, T)
+
+    du_ref[0] = (dt * gB).astype(du_ref.dtype)
+    ddt_ref[0] = (
+        jnp.sum(gah * A[:, :, None], axis=1) + u * gB
+    ).astype(ddt_ref.dtype)
+    dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
+    dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
+
+    @pl.when(li == 0)
+    def _():
+        dA_ref[0] = jnp.zeros_like(dA_ref[0])
+
+    dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_core(T: int, D_blk: int, interpret: bool):
+    """Build the custom-VJP core scan for a given (chunk, dim-block) config.
+
+    core(u (B,Dp,Lp), dt (B,Dp,Lp) f32, A (Dp,N), Bv (B,N,Lp), Cv (B,N,Lp))
+      -> (y (B,Dp,Lp) f32, last (B,Dp,N,1) f32)
+    with Dp % D_blk == 0 and Lp % T == 0 (caller pads).
+    """
+
+    def _fwd_call(u, dt, A, Bv, Cv):
+        Bsz, Dp, Lp = u.shape
+        N = A.shape[1]
+        nS, nL = Dp // D_blk, Lp // T
+        grid = (Bsz, nS, nL)
+        y, states, last = pl.pallas_call(
+            _fwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, l)),
+                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, l)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b * nL + l, s, 0, 0)),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b, s, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz * nL, Dp, N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, N, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((D_blk, N, 1), jnp.float32)],
+            interpret=interpret,
+        )(u, dt, A, Bv, Cv)
+        return y, states, last
+
+    def _bwd_call(u, dt, A, Bv, Cv, states, dy):
+        Bsz, Dp, Lp = u.shape
+        N = A.shape[1]
+        nS, nL = Dp // D_blk, Lp // T
+        grid = (Bsz, nS, nL)
+        rev = lambda l: nL - 1 - l  # noqa: E731
+        du, ddt, dA, dB, dC = pl.pallas_call(
+            _bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, rev(l))),
+                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, rev(l))),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b * nL + rev(l), s, 0, 0)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b, s, 0, 0)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s, 0, rev(l))),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s, 0, rev(l))),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, nS, N, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, nS, N, Lp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D_blk, N, 1), jnp.float32),
+                pltpu.VMEM((D_blk, N, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(u, dt, A, Bv, Cv, states, dy)
+        return du, ddt, dA, dB, dC
+
+    @jax.custom_vjp
+    def core(u, dt, A, Bv, Cv):
+        y, _, last = _fwd_call(u, dt, A, Bv, Cv)
+        return y, last
+
+    def core_fwd(u, dt, A, Bv, Cv):
+        y, states, last = _fwd_call(u, dt, A, Bv, Cv)
+        return (y, last), (u, dt, A, Bv, Cv, states)
+
+    def core_bwd(res, cts):
+        u, dt, A, Bv, Cv, states = res
+        dy, _ = cts  # gradient does not flow through last_state (ref parity)
+        du, ddt, dA, dB, dC = _bwd_call(u, dt, A, Bv, Cv, states, dy.astype(jnp.float32))
+        dA = jnp.sum(dA[..., 0], axis=0)  # (Dp, N)
+        dB = jnp.sum(dB, axis=1)  # (B, N, Lp)
+        dC = jnp.sum(dC, axis=1)
+        return du.astype(u.dtype), ddt, dA, dB.astype(Bv.dtype), dC.astype(Cv.dtype)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def selective_scan_pallas(
+    u: Array,
+    delta: Array,
+    A: Array,
+    B: Array,
+    C: Array,
+    D: Optional[Array] = None,
+    z: Optional[Array] = None,
+    delta_bias: Optional[Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+) -> Array | tuple[Array, Array]:
+    """Selective scan on TPU via the chunked Pallas kernel.
+
+    Requires variable (input-dependent) B and C of shape (batch, N, L) — the
+    only form the framework's Mamba modules use. Constant/grouped B/C fall
+    back to the associative-scan implementation.
+    """
+    if B.ndim != 3 or C.ndim != 3:
+        from mm_unet_tpu.ops import selective_scan as ss
+
+        return ss.selective_scan(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            return_last_state, implementation="assoc",
+        )
+    if interpret is None:
+        interpret = not any(d.platform == "tpu" for d in jax.devices())
+
+    dtype_in = u.dtype
+    batch, dim, L = u.shape
+    N = A.shape[1]
+    dt_eff = _prep_delta(delta, delta_bias, delta_softplus)
+
+    D_blk = min(32, _round_up(dim, 8))
+    T = max(128, _round_up(chunk, 128))  # lane-dim blocks must be 128-aligned
+    Dp, Lp = _round_up(dim, D_blk), _round_up(L, T)
+    pad_d, pad_l = Dp - dim, Lp - L
+    if pad_d or pad_l:
+        u_p = jnp.pad(u, ((0, 0), (0, pad_d), (0, pad_l)))
+        dt_p = jnp.pad(dt_eff, ((0, 0), (0, pad_d), (0, pad_l)))
+        A_p = jnp.pad(A.astype(jnp.float32), ((0, pad_d), (0, 0)))
+        B_p = jnp.pad(B, ((0, 0), (0, 0), (0, pad_l)))
+        C_p = jnp.pad(C, ((0, 0), (0, 0), (0, pad_l)))
+    else:
+        u_p, dt_p, A_p, B_p, C_p = u, dt_eff, A.astype(jnp.float32), B, C
+
+    core = _scan_core(T, D_blk, bool(interpret))
+    y, last = core(u_p, dt_p, A_p, B_p, C_p)
+    y = y[:, :dim, :L]
+    out = _finalize(y, u.astype(jnp.float32), D, z, dtype_in)
+    if return_last_state:
+        last = jax.lax.stop_gradient(last[:, :dim, :, 0])
+        return out, last
+    return out
