@@ -1,0 +1,265 @@
+"""TFM ("Token Flow Module") Mamba block — TPU-native rebuild.
+
+Reimplements the modified Mamba module the reference installs over the stock
+mamba_ssm (`/root/reference/requirements/mamba_simple.py:34-362`):
+
+- `bimamba_type="v3"`: THREE selective scans with independent weight sets —
+  (1) forward over the token sequence, (2) backward over the flipped sequence
+  (weights `*_b`), (3) a slice-interleaved "spatial" scan (weights `*_s`) that
+  reorders tokens so position i of every one of `nslices` slices is adjacent
+  (`mamba_simple.py:245-263`), then un-interleaves. Output = out_proj(out_fwd +
+  flip(out_bwd) + out_spatial); also returns the three pre-projection outputs
+  (`mamba_simple.py:267-270`).
+- `bimamba_type="v2"`: forward + flipped backward (vendored module behaviour,
+  single return value — used by dkDualNet).
+- `bimamba_type="none"`: single direction.
+
+Per the survey (SURVEY.md §2.2), the reference's `bimamba_type="v1"`
+annotation in MMConv is inconsistent with its own assert and would crash; the
+only self-consistent configuration is v3, so "v1" is treated as v3 here.
+
+Parameter init parity: dt_proj weight ~ U(±dt_rank^-0.5·dt_scale), dt_proj
+bias = softplus^-1(clip(exp(U(log dt_min, log dt_max)), dt_init_floor))
+(`mamba_simple.py:89-108`); A_log = log(1..d_state) per channel (S4D-real,
+`:110-117`); D = 1. A_log/D are tagged for no-weight-decay by name (see
+`mm_unet_tpu.train.optim.wd_mask`).
+
+The three directional scans are fused into ONE batched Pallas selective-scan
+call (directions stacked along the batch axis) so the TPU sees a single large
+kernel launch instead of three small ones; the per-direction projections are
+likewise batched with `jnp.einsum` over a direction axis — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_unet_tpu.ops.causal_conv1d import causal_conv1d
+from mm_unet_tpu.ops.selective_scan import selective_scan
+
+Array = jax.Array
+
+
+def _dt_bias_init(dt_min, dt_max, dt_init_floor):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.clip(dt, min=dt_init_floor)
+        # softplus^-1(dt) = dt + log(-expm1(-dt))
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+def _a_log_init(d_state):
+    def init(key, shape, dtype=jnp.float32):
+        d_inner = shape[0]
+        a = jnp.tile(jnp.arange(1, d_state + 1, dtype=jnp.float32)[None], (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+class Mamba(nn.Module):
+    """Selective-state-space mixer over (B, L, d_model) token sequences."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | str = "auto"
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    bimamba_type: str = "v3"
+    nslices: int = 5
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 for perf runs)
+    scan_impl: Optional[str] = None
+
+    @property
+    def d_inner(self) -> int:
+        return int(self.expand * self.d_model)
+
+    @property
+    def _dt_rank(self) -> int:
+        return math.ceil(self.d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+
+    def _dir_params(self, name: str):
+        """One direction's weight set (suffix '' / '_b' / '_s')."""
+        d_in, r, n, w = self.d_inner, self._dt_rank, self.d_state, self.d_conv
+        dt_std = r**-0.5 * self.dt_scale
+        if self.dt_init == "constant":
+            dt_kernel_init = nn.initializers.constant(dt_std)
+        elif self.dt_init == "random":
+            dt_kernel_init = nn.initializers.uniform(scale=2 * dt_std)  # shifted below
+        else:
+            raise NotImplementedError(self.dt_init)
+
+        conv_w = self.param(f"conv1d{name}_weight", nn.initializers.lecun_normal(), (d_in, w))
+        conv_b = (
+            self.param(f"conv1d{name}_bias", nn.initializers.zeros, (d_in,))
+            if self.conv_bias
+            else None
+        )
+        x_proj = self.param(f"x_proj{name}_weight", nn.initializers.lecun_normal(), (r + 2 * n, d_in))
+        dt_w = self.param(f"dt_proj{name}_weight", dt_kernel_init, (d_in, r))
+        if self.dt_init == "random":
+            dt_w = dt_w - dt_std  # U(0, 2s) -> U(-s, s)
+        dt_b = self.param(
+            f"dt_proj{name}_bias", _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor), (d_in,)
+        )
+        a_log = self.param(f"A{name}_log", _a_log_init(self.d_state), (d_in, self.d_state))
+        d_skip = self.param(f"D{name}", nn.initializers.ones, (d_in,))
+        return conv_w, conv_b, x_proj, dt_w, dt_b, a_log, d_skip
+
+    def _fused_scan(self, xz_dirs: list[Array], params: list) -> Array:
+        """All directions of `mamba_inner_fn_no_out_proj`
+        (`selective_scan_interface.py:155-225`) fused into ONE depthwise conv,
+        ONE batched projection pair, and ONE grouped Pallas scan: direction g
+        occupies channel group g. xz_dirs: list of (B, 2*D_in, L).
+
+        Returns (B, G, D_in, L) per-direction scan outputs.
+        """
+        cdtype = self.dtype or xz_dirs[0].dtype
+        bsz, _, L = xz_dirs[0].shape
+        g, d_in = len(xz_dirs), self.d_inner
+        r, n = self._dt_rank, self.d_state
+
+        xs, zs = [], []
+        for xz in xz_dirs:
+            x, z = jnp.split(xz, 2, axis=1)
+            xs.append(x)
+            zs.append(z)
+        x_all = jnp.concatenate(xs, axis=1)  # (B, G*D, L)
+        z_all = jnp.concatenate(zs, axis=1)
+
+        conv_w = jnp.concatenate([p[0] for p in params], axis=0).astype(cdtype)
+        conv_b = (
+            jnp.concatenate([p[1] for p in params], axis=0)
+            if params[0][1] is not None
+            else None
+        )
+        x_all = causal_conv1d(x_all, conv_w, conv_b, activation="silu")
+
+        x_proj = jnp.stack([p[2] for p in params]).astype(cdtype)  # (G, R+2N, D)
+        dt_w = jnp.stack([p[3] for p in params]).astype(cdtype)  # (G, D, R)
+        xg = x_all.reshape(bsz, g, d_in, L)
+        x_dbl = jnp.einsum("bgdl,ged->bgel", xg, x_proj)  # (B, G, R+2N, L)
+        dt = jnp.einsum("bgrl,gdr->bgdl", x_dbl[:, :, :r], dt_w).reshape(bsz, g * d_in, L)
+        Bv = x_dbl[:, :, r : r + n]  # (B, G, N, L)
+        Cv = x_dbl[:, :, r + n :]
+
+        A = -jnp.exp(jnp.stack([p[5] for p in params]).astype(jnp.float32)).reshape(
+            g * d_in, n
+        )
+        dt_b = jnp.concatenate([p[4] for p in params]).astype(jnp.float32)
+        d_skip = jnp.concatenate([p[6] for p in params]).astype(jnp.float32)
+
+        y = selective_scan(
+            x_all, dt, A, Bv, Cv,
+            D=d_skip, z=z_all,
+            delta_bias=dt_b, delta_softplus=True,
+            implementation=self.scan_impl,
+        )
+        return y.reshape(bsz, g, d_in, L)
+
+    @nn.compact
+    def __call__(self, hidden_states: Array):
+        """hidden_states: (B, L, d_model). Returns (out, o_fwd, o_bwd, o_slice)
+        for v3 (reference `mamba_simple.py:362`), else out alone."""
+        batch, seqlen, _ = hidden_states.shape
+        d_in = self.d_inner
+        cdtype = self.dtype or hidden_states.dtype
+        bt = "v3" if self.bimamba_type == "v1" else self.bimamba_type
+
+        in_proj = self.param(
+            "in_proj_weight", nn.initializers.lecun_normal(), (2 * d_in, self.d_model)
+        )
+        x = hidden_states.astype(cdtype)
+        xz = jnp.einsum("bld,ed->bel", x, in_proj.astype(cdtype))  # (B, 2*D_in, L)
+        if self.bias:
+            in_b = self.param("in_proj_bias", nn.initializers.zeros, (2 * d_in,))
+            xz = xz + in_b.astype(cdtype)[None, :, None]
+
+        dirs = [xz]
+        params = [self._dir_params("")]
+        if bt in ("v2", "v3"):
+            dirs.append(jnp.flip(xz, axis=-1))
+            params.append(self._dir_params("_b"))
+        if bt == "v3":
+            if seqlen % self.nslices != 0:
+                raise ValueError(
+                    f"v3 slice scan requires seqlen % nslices == 0, got {seqlen} % {self.nslices}"
+                )
+            ns = self.nslices
+            # chunk along L into ns slices, stack, flatten: token (s, l) -> l*ns + s
+            # (reference mamba_simple.py:245-247)
+            dirs.append(
+                xz.reshape(batch, 2 * d_in, ns, seqlen // ns)
+                .transpose(0, 1, 3, 2)
+                .reshape(batch, 2 * d_in, seqlen)
+            )
+            params.append(self._dir_params("_s"))
+
+        ys = self._fused_scan(dirs, params)  # (B, G, D_in, L)
+        o_1 = ys[:, 0]
+        o_2 = o_3 = None
+        out_dirs = o_1
+        if bt in ("v2", "v3"):
+            o_2 = ys[:, 1]
+            out_dirs = out_dirs + jnp.flip(o_2, axis=-1)
+        if bt == "v3":
+            o_3 = ys[:, 2]
+            # inverse interleave (reference mamba_simple.py:263)
+            out_s = (
+                o_3.reshape(batch, d_in, seqlen // self.nslices, self.nslices)
+                .transpose(0, 1, 3, 2)
+                .reshape(batch, d_in, seqlen)
+            )
+            out_dirs = out_dirs + out_s
+
+        out_proj = self.param(
+            "out_proj_weight", nn.initializers.lecun_normal(), (self.d_model, d_in)
+        )
+        out = jnp.einsum("bdl,ed->ble", out_dirs, out_proj.astype(cdtype))
+        if self.bias:
+            out_b = self.param("out_proj_bias", nn.initializers.zeros, (self.d_model,))
+            out = out + out_b.astype(cdtype)
+        if bt == "v3":
+            return out, o_1, o_2, o_3
+        return out
+
+
+class Block(nn.Module):
+    """Prenorm residual wrapper: Add -> Norm -> Mixer (reference
+    `mamba_simple.py:453-506`). Returns (hidden_states, residual)."""
+
+    dim: int
+    norm_epsilon: float = 1e-5
+    residual_in_fp32: bool = False
+    mamba_kwargs: dict = None
+
+    @nn.compact
+    def __call__(self, hidden_states: Array, residual: Optional[Array] = None):
+        residual = hidden_states + residual if residual is not None else hidden_states
+        if self.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+        h = nn.LayerNorm(epsilon=self.norm_epsilon)(residual)
+        kw = dict(self.mamba_kwargs or {})
+        kw.setdefault("bimamba_type", "none")
+        h = Mamba(d_model=self.dim, **kw)(h)
+        if isinstance(h, tuple):
+            h = h[0]
+        return h, residual

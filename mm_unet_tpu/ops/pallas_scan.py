@@ -102,8 +102,8 @@ def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_r
 
     u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
     dt = dt_ref[0].astype(jnp.float32)  # (D_blk, T)
-    Bv = B_ref[0].astype(jnp.float32)  # (N, T)
-    Cv = C_ref[0].astype(jnp.float32)  # (N, T)
+    Bv = B_ref[0, 0].astype(jnp.float32)  # (N, T)
+    Cv = C_ref[0, 0].astype(jnp.float32)  # (N, T)
     A = A_ref[...].astype(jnp.float32)  # (D_blk, N)
 
     a = jnp.exp(dt[:, None, :] * A[:, :, None])  # (D_blk, N, T)
@@ -139,8 +139,8 @@ def _bwd_kernel(
 
     u = u_ref[0].astype(jnp.float32)
     dt = dt_ref[0].astype(jnp.float32)
-    Bv = B_ref[0].astype(jnp.float32)
-    Cv = C_ref[0].astype(jnp.float32)
+    Bv = B_ref[0, 0].astype(jnp.float32)
+    Cv = C_ref[0, 0].astype(jnp.float32)
     A = A_ref[...].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
     h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
@@ -183,18 +183,22 @@ def _bwd_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_core(T: int, D_blk: int, interpret: bool):
+def _scan_core(T: int, D_blk: int, G: int, interpret: bool):
     """Build the custom-VJP core scan for a given (chunk, dim-block) config.
 
-    core(u (B,Dp,Lp), dt (B,Dp,Lp) f32, A (Dp,N), Bv (B,N,Lp), Cv (B,N,Lp))
+    core(u (B,Dp,Lp), dt (B,Dp,Lp) f32, A (Dp,N), Bv (B,G,N,Lp), Cv (B,G,N,Lp))
       -> (y (B,Dp,Lp) f32, last (B,Dp,N,1) f32)
-    with Dp % D_blk == 0 and Lp % T == 0 (caller pads).
+    with Dp % (G*D_blk) == 0 and Lp % T == 0 (caller pads). Channel block s
+    belongs to B/C group s // (nS // G) — this is how the Mamba module fuses
+    its three directional scans into one kernel launch (each direction is a
+    contiguous channel group with its own B/C streams).
     """
 
     def _fwd_call(u, dt, A, Bv, Cv):
         Bsz, Dp, Lp = u.shape
         N = A.shape[1]
         nS, nL = Dp // D_blk, Lp // T
+        sg = nS // G  # dim-blocks per group
         grid = (Bsz, nS, nL)
         y, states, last = pl.pallas_call(
             _fwd_kernel,
@@ -203,8 +207,8 @@ def _scan_core(T: int, D_blk: int, interpret: bool):
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
                 pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
-                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, l)),
-                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, l)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, l)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, l)),
             ],
             out_specs=[
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
@@ -225,6 +229,7 @@ def _scan_core(T: int, D_blk: int, interpret: bool):
         Bsz, Dp, Lp = u.shape
         N = A.shape[1]
         nS, nL = Dp // D_blk, Lp // T
+        sg = nS // G
         grid = (Bsz, nS, nL)
         rev = lambda l: nL - 1 - l  # noqa: E731
         du, ddt, dA, dB, dC = pl.pallas_call(
@@ -234,8 +239,8 @@ def _scan_core(T: int, D_blk: int, interpret: bool):
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
                 pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
-                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, rev(l))),
-                pl.BlockSpec((1, N, T), lambda b, s, l: (b, 0, rev(l))),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, rev(l))),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, rev(l))),
                 pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b * nL + rev(l), s, 0, 0)),
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
             ],
@@ -274,9 +279,10 @@ def _scan_core(T: int, D_blk: int, interpret: bool):
         u, dt, A, Bv, Cv, states = res
         dy, _ = cts  # gradient does not flow through last_state (ref parity)
         du, ddt, dA, dB, dC = _bwd_call(u, dt, A, Bv, Cv, states, dy.astype(jnp.float32))
+        Bsz, nS, N, Lp = dB.shape
         dA = jnp.sum(dA[..., 0], axis=0)  # (Dp, N)
-        dB = jnp.sum(dB, axis=1)  # (B, N, Lp)
-        dC = jnp.sum(dC, axis=1)
+        dB = jnp.sum(dB.reshape(Bsz, G, nS // G, N, Lp), axis=2)  # (B, G, N, Lp)
+        dC = jnp.sum(dC.reshape(Bsz, G, nS // G, N, Lp), axis=2)
         return du.astype(u.dtype), ddt, dA, dB.astype(Bv.dtype), dC.astype(Cv.dtype)
 
     core.defvjp(core_fwd, core_bwd)
@@ -299,11 +305,16 @@ def selective_scan_pallas(
 ) -> Array | tuple[Array, Array]:
     """Selective scan on TPU via the chunked Pallas kernel.
 
-    Requires variable (input-dependent) B and C of shape (batch, N, L) — the
-    only form the framework's Mamba modules use. Constant/grouped B/C fall
-    back to the associative-scan implementation.
+    Requires variable (input-dependent) B and C: (batch, N, L), or grouped
+    (batch, G, N, L) with dim % G == 0 — channel group g uses B/C stream g
+    (the Mamba module fuses its three directional scans this way). Constant
+    B/C (2-D) falls back to the associative-scan implementation.
     """
-    if B.ndim != 3 or C.ndim != 3:
+    grouped_ok = (
+        B.ndim == C.ndim
+        and (B.ndim == 3 or (B.ndim == 4 and u.shape[1] % B.shape[1] == 0))
+    )
+    if not grouped_ok:
         from mm_unet_tpu.ops import selective_scan as ss
 
         return ss.selective_scan(
@@ -315,27 +326,43 @@ def selective_scan_pallas(
 
     dtype_in = u.dtype
     batch, dim, L = u.shape
+    if B.ndim == 3:
+        B = B[:, None]
+        C = C[:, None]
+    G = B.shape[1]
+    dg = dim // G  # channels per group
     N = A.shape[1]
     dt_eff = _prep_delta(delta, delta_bias, delta_softplus)
 
-    D_blk = min(32, _round_up(dim, 8))
+    D_blk = min(32, _round_up(dg, 8))
     T = max(128, _round_up(chunk, 128))  # lane-dim blocks must be 128-aligned
-    Dp, Lp = _round_up(dim, D_blk), _round_up(L, T)
-    pad_d, pad_l = Dp - dim, Lp - L
+    dgp, Lp = _round_up(dg, D_blk), _round_up(L, T)
+    pad_d, pad_l = dgp - dg, Lp - L
     if pad_d or pad_l:
-        u_p = jnp.pad(u, ((0, 0), (0, pad_d), (0, pad_l)))
-        dt_p = jnp.pad(dt_eff, ((0, 0), (0, pad_d), (0, pad_l)))
-        A_p = jnp.pad(A.astype(jnp.float32), ((0, pad_d), (0, 0)))
-        B_p = jnp.pad(B, ((0, 0), (0, 0), (0, pad_l)))
-        C_p = jnp.pad(C, ((0, 0), (0, 0), (0, pad_l)))
+        # pad the channel dim per group (channels are G contiguous groups)
+        def pad_grouped(x):
+            x = x.reshape(batch, G, dg, x.shape[-1])
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
+            return x.reshape(batch, G * dgp, -1)
+
+        u_p, dt_p = pad_grouped(u), pad_grouped(dt_eff)
+        A_p = jnp.pad(
+            A.astype(jnp.float32).reshape(G, dg, N), ((0, 0), (0, pad_d), (0, 0))
+        ).reshape(G * dgp, N)
+        B_p = jnp.pad(B, ((0, 0), (0, 0), (0, 0), (0, pad_l)))
+        C_p = jnp.pad(C, ((0, 0), (0, 0), (0, 0), (0, pad_l)))
     else:
         u_p, dt_p, A_p, B_p, C_p = u, dt_eff, A.astype(jnp.float32), B, C
 
-    core = _scan_core(T, D_blk, bool(interpret))
+    core = _scan_core(T, D_blk, G, bool(interpret))
     y, last = core(u_p, dt_p, A_p, B_p, C_p)
-    y = y[:, :dim, :L]
+    if pad_d:
+        y = y.reshape(batch, G, dgp, Lp)[:, :, :dg, :L].reshape(batch, dim, L)
+        last = last.reshape(batch, G, dgp, N, 1)[:, :, :dg].reshape(batch, dim, N, 1)
+    else:
+        y = y[:, :, :L]
     out = _finalize(y, u.astype(jnp.float32), D, z, dtype_in)
     if return_last_state:
-        last = jax.lax.stop_gradient(last[:, :dim, :, 0])
+        last = jax.lax.stop_gradient(last[..., 0])
         return out, last
     return out

@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment; force CPU
+# through the config API so tests are deterministic and tunnel-free.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -119,3 +119,32 @@ def test_scan_bf16_tolerances():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref, dtype=np.float32), rtol=3e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("G", [2, 3])
+def test_scan_grouped_BC(G):
+    """Grouped B/C: channel group g uses stream g (direction-fused scan)."""
+    rng = np.random.default_rng(6)
+    B_, dg, L, N = 2, 6, 200, 16
+    dim = G * dg
+    u = rng.standard_normal((B_, dim, L)).astype(np.float32)
+    delta = (0.5 * rng.standard_normal((B_, dim, L))).astype(np.float32)
+    A = (-np.exp(rng.standard_normal((dim, N)) * 0.5)).astype(np.float32)
+    Bv = rng.standard_normal((B_, G, N, L)).astype(np.float32)
+    Cv = rng.standard_normal((B_, G, N, L)).astype(np.float32)
+    ref = selective_scan_ref(u, delta, A, Bv, Cv, delta_softplus=True)
+    out = selective_scan_pallas(u, delta, A, Bv, Cv, delta_softplus=True, chunk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        def f(u, delta, A, Bv, Cv):
+            o = fn(u, delta, A, Bv, Cv, delta_softplus=True)
+            return jnp.sum(jnp.sin(o))
+        return f
+
+    gref = jax.grad(loss(selective_scan_ref), argnums=(0, 1, 2, 3, 4))(u, delta, A, Bv, Cv)
+    gout = jax.grad(loss(lambda *a, **k: selective_scan_pallas(*a, **k, chunk=128)),
+                    argnums=(0, 1, 2, 3, 4))(u, delta, A, Bv, Cv)
+    for name, a, b in zip(["du", "ddelta", "dA", "dB", "dC"], gout, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
