@@ -1,0 +1,104 @@
+"""Shared model building blocks (NHWC, TPU-native layouts).
+
+All models keep activations in NHWC internally (TPU conv layout) and expose
+the reference's NCHW interface at the model boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix_align_corners(n: int, m: int) -> np.ndarray:
+    """(m, n) bilinear interpolation matrix, align_corners=True semantics
+    (torch `F.interpolate(..., mode='bilinear', align_corners=True)`)."""
+    if n == 1:
+        return np.ones((m, 1), np.float32)
+    if m == 1:
+        w = np.zeros((1, n), np.float32)
+        w[0, 0] = 1.0
+        return w
+    pos = np.arange(m, dtype=np.float64) * (n - 1) / (m - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (pos - lo).astype(np.float32)
+    w = np.zeros((m, n), np.float32)
+    w[np.arange(m), lo] += 1.0 - frac
+    w[np.arange(m), hi] += frac
+    return w
+
+
+def resize_bilinear_align_corners(x: Array, out_hw: tuple[int, int]) -> Array:
+    """NHWC bilinear resize with align_corners=True, as two small matmuls
+    (MXU-friendly; no gathers)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    mh = jnp.asarray(_resize_matrix_align_corners(h, oh))
+    mw = jnp.asarray(_resize_matrix_align_corners(w, ow))
+    x = jnp.einsum("bhwc,ph->bpwc", x, mh.astype(x.dtype))
+    return jnp.einsum("bhwc,qw->bhqc", x, mw.astype(x.dtype))
+
+
+def grid_sample_bilinear_nhwc(feat: Array, grid: Array) -> Array:
+    """NHWC variant of torch-parity grid_sample (bilinear, zeros padding,
+    align_corners=True). feat: (B, H, W, C); grid: (B, Hg, Wg, 2) xy in
+    [-1, 1]. Returns (B, Hg, Wg, C)."""
+    b, h, w, c = feat.shape
+    _, hg, wg, _ = grid.shape
+    gf = grid.astype(jnp.float32)
+    x = (gf[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (gf[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    wx, wy = x - x0, y - y0
+    flat = feat.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        idx = (
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+            + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        ).reshape(b, hg * wg, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(b, hg, wg, c)
+        return vals * valid.astype(feat.dtype)[..., None]
+
+    v00, v01 = gather(y0, x0), gather(y0, x0 + 1)
+    v10, v11 = gather(y0 + 1, x0), gather(y0 + 1, x0 + 1)
+    wx = wx.astype(feat.dtype)[..., None]
+    wy = wy.astype(feat.dtype)[..., None]
+    return (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (v10 * (1 - wx) + v11 * wx) * wy
+
+
+class ConvBNRelu(nn.Module):
+    """Conv -> BatchNorm -> ReLU (the reference's ubiquitous trio)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=self.use_bias,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+def nchw_to_nhwc(x: Array) -> Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: Array) -> Array:
+    return jnp.transpose(x, (0, 3, 1, 2))

@@ -1,0 +1,70 @@
+"""Model zoo smoke tests: init + forward shape + finite outputs, mirroring the
+reference's per-file `__main__` random-tensor checks (e.g. `MMUNet.py:588-595`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_unet_tpu.models.mm_unet import MM_Net, MMConv, RCG, ResidualBlock
+from mm_unet_tpu.models.unet import UNet
+
+
+def _run(model, x, train=False, **kw):
+    vs = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, **kw)
+    if train:
+        out, _ = model.apply(
+            vs, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)}
+        )
+        return out
+    return model.apply(vs, x, **kw)
+
+
+def test_mmconv_shapes():
+    m = MMConv(out_channels=16, kernel_size=3, num_slices=4)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))  # NHWC submodule
+    out = _run(m, x)
+    assert out.shape == (2, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmconv_k1():
+    m = MMConv(out_channels=16, kernel_size=1, num_slices=4)
+    x = jax.random.normal(jax.random.key(0), (1, 4, 8, 4))
+    out = _run(m, x)
+    assert out.shape == (1, 4, 8, 16)
+
+
+def test_residual_block():
+    m = ResidualBlock(16, 32, num_slices=4, downsample=True)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+    out = _run(m, x)
+    assert out.shape == (1, 4, 4, 32)
+
+
+def test_rcg():
+    m = RCG(num_slices=4)
+    pre = jax.random.normal(jax.random.key(0), (1, 8, 8, 1))
+    edge = jax.random.normal(jax.random.key(1), (1, 16, 16, 64))
+    f = jax.random.normal(jax.random.key(2), (1, 8, 8, 64))
+    vs = m.init(jax.random.key(3), pre, edge, f)
+    out = m.apply(vs, pre, edge, f)
+    assert out.shape == (1, 8, 8, 64)
+
+
+@pytest.mark.slow
+def test_mm_net_forward():
+    model = MM_Net(num_classes=1, remat=False)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 128, 128))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_forward():
+    model = UNet(num_classes=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+    out_t = _run(model, x, train=True)
+    assert out_t.shape == (1, 1, 64, 64)
