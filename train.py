@@ -1,0 +1,153 @@
+"""Training entry — interface parity with the reference `train.py`:
+config-driven (no CLI args), per-step loss logging, 7-metric accumulation,
+best-checkpoint selection on `Val/mean f1`, best/last checkpoints with
+{epoch, best_acc, best_class} metadata.
+
+TPU-native: one jitted SPMD step over a `data`-axis mesh (XLA emits the
+gradient all-reduce; no torchrun/NCCL), sliding-window validation jitted per
+window batch.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from mm_unet_tpu.data import get_dataloader
+from mm_unet_tpu.models import give_model
+from mm_unet_tpu.parallel import make_mesh, shard_batch
+from mm_unet_tpu.train.checkpoint import CheckpointManager, resume_train_state
+from mm_unet_tpu.train.inferers import SlidingWindowInferer
+from mm_unet_tpu.train.metrics import build_metrics
+from mm_unet_tpu.train.trainer import (
+    create_train_state, make_loss_fn, make_predictor, train_step,
+)
+from mm_unet_tpu.utils import Logger, load_config, same_seeds
+
+
+def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config):
+    t0 = time.time()
+    n_img = 0
+    for i, batch in enumerate(train_loader):
+        sharded = shard_batch(
+            {"image": batch["image"], "label": batch["label"]}, mesh
+        )
+        rng, sub = jax.random.split(rng)
+        state, scalars, preds = train_step(
+            state, sharded["image"], sharded["label"], sub, loss_fn,
+            has_batch_stats=bool(jax.tree_util.tree_leaves(state.batch_stats)),
+        )
+        for name in metrics:
+            metrics[name](y_pred=np.asarray(preds), y=batch["label"])
+        n_img += batch["image"].shape[0]
+        loss_val = float(scalars["total_loss"])
+        print(
+            f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] "
+            f"Training [{i + 1}/{len(train_loader)}] Loss: {loss_val:1.5f}",
+            flush=True,
+        )
+        step += 1
+    dt = time.time() - t0
+    metric = {}
+    for name in metrics:
+        metric[f"Train/mean {name}"] = float(np.nanmean(metrics[name].aggregate()))
+        metrics[name].reset()
+    metric["Train/images_per_sec"] = n_img / max(dt, 1e-9)
+    print(f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] Training metric {metric}")
+    return state, step, rng
+
+
+def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, config):
+    predictor = make_predictor(state)
+    for i, batch in enumerate(val_loader):
+        logits = inferer(batch["image"], predictor)
+        total, _ = loss_fn(logits, batch["label"])
+        preds = (jax.nn.sigmoid(logits) > 0.5).astype(np.float32)
+        for name in metrics:
+            metrics[name](y_pred=np.asarray(preds), y=batch["label"])
+        print(
+            f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] "
+            f"Validation [{i + 1}/{len(val_loader)}] Loss: {float(total):1.5f}",
+            flush=True,
+        )
+        step += 1
+    metric = {}
+    for name in metrics:
+        agg = metrics[name].aggregate()
+        metrics[name].reset()
+        metric[f"Val/mean {name}"] = float(np.nanmean(agg))
+        if config.trainer.dataset_choose == "EDD_seg" and np.size(agg) == 5:
+            for cls, v in zip(("BE", "cancer", "HGD", "polyp", "suspicious"), np.ravel(agg)):
+                metric[f"Val/{cls} {name}"] = float(v)
+    print(f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] Validation metric {metric}")
+    return metric["Val/mean f1"], metric, step
+
+
+def main():
+    config = load_config("config.yml")
+    same_seeds(int(config.trainer.get("seed", 50)))
+    checkpoint_name = config.finetune.checkpoint
+    logger = Logger(checkpoint_name)  # noqa: F841 — tees stdout/stderr
+
+    mesh = make_mesh()
+    print(f"devices: {jax.devices()} mesh: {mesh}")
+
+    model = give_model(config)
+    train_loader, val_loader = get_dataloader(config)
+    params = config.dataset[config.trainer.dataset_choose]
+    image_size = int(params.image_size)
+    config.trainer.steps_per_epoch = len(train_loader)
+
+    inferer = SlidingWindowInferer(roi_size=(image_size, image_size), overlap=0.5)
+    metrics = build_metrics(include_background=True)
+    val_metrics = build_metrics(include_background=True)
+    loss_fn = make_loss_fn(
+        {"dice_focal_loss": dict(smooth_nr=0.0, smooth_dr=1e-5)},
+        {"dice_focal_loss": 1.0},
+    )
+
+    rng = jax.random.key(int(config.trainer.get("seed", 50)))
+    sample = jax.numpy.zeros(
+        (int(params.batch_size), 3, image_size, image_size), jax.numpy.float32
+    )
+    state = create_train_state(model, config, rng, sample)
+
+    manager = CheckpointManager("model_store", checkpoint_name)
+    starting_epoch, best_acc, best_meta = 0, 0.0, {}
+    if config.trainer.get("resume", False):
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+        restored, starting_epoch, best_acc, best_meta = resume_train_state(manager, tree)
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(starting_epoch * len(train_loader), jax.numpy.int32),
+        )
+
+    step = int(state.step)
+    val_step = 0
+    for epoch in range(starting_epoch, int(config.trainer.num_epochs)):
+        state, step, rng = train_one_epoch(
+            state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config
+        )
+        mean_f1, metric, val_step = val_one_epoch(
+            state, loss_fn, inferer, val_loader, val_metrics, epoch, val_step, config
+        )
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state}
+        meta = {"epoch": epoch + 1, "best_acc": best_acc, "best_class": metric}
+        if mean_f1 > best_acc:
+            best_acc = mean_f1
+            meta["best_acc"] = best_acc
+            manager.save_best(tree, meta)
+            print(f"new best f1 {best_acc:.4f} at epoch {epoch + 1}")
+        manager.save_checkpoint(tree, meta)
+    print(f"best f1: {best_acc:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
