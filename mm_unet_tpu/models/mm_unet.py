@@ -258,6 +258,7 @@ class MM_Net(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)  # config parity; unused (ref parity)
     heads: Sequence[int] = (1, 2, 4, 4)  # config parity; unused (ref parity)
     remat: bool = True
+    depths: Sequence[int] = (3, 4, 6, 3)  # ResNet-34-shaped stage depths (ref default)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -273,17 +274,18 @@ class MM_Net(nn.Module):
         e1_pool = nn.max_pool(e1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         # encoder stages 3/4/6/3 (MMUNet.py:494-497)
+        d1, d2_, d3_, d4_ = self.depths
         e2 = e1_pool
-        for _ in range(3):
+        for _ in range(d1):
             e2 = ResidualBlock(64, 64, ns[0], remat=rm)(e2, train)
         e3 = ResidualBlock(64, 128, ns[1], downsample=True, remat=rm)(e2, train)
-        for _ in range(3):
+        for _ in range(d2_ - 1):
             e3 = ResidualBlock(128, 128, ns[1], remat=rm)(e3, train)
         e4 = ResidualBlock(128, 256, ns[2], downsample=True, remat=rm)(e3, train)
-        for _ in range(5):
+        for _ in range(d3_ - 1):
             e4 = ResidualBlock(256, 256, ns[2], remat=rm)(e4, train)
         e5 = ResidualBlock(256, 512, ns[3], downsample=True, remat=rm)(e4, train)
-        for _ in range(2):
+        for _ in range(d4_ - 1):
             e5 = ResidualBlock(512, 512, ns[3], remat=rm)(e5, train)
 
         # 1x1 MMConv channel reducers (MMUNet.py:502-504)

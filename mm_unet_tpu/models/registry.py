@@ -9,6 +9,25 @@ from typing import Callable
 
 MODEL_REGISTRY: dict[str, Callable] = {}
 
+# model_choose string -> config.models section key (reference src/models.py:22-100)
+_CONFIG_KEYS = {
+    "TransUNet": "trans_unet",
+    "CFPNet": "cfp_net",
+    "UNETR": "u_netr",
+    "SWINUNETR": "swin_unetr",
+    "DuAT": "duat",
+    "UNet": "unet",
+    "CFANet": "cfa_net",
+    "PVT_CASCADE": "pvt_ca",
+    "UM_Net": "um_net",
+    "CVC_UNETR": "cvc_unetr",
+    "BMANet": "bmanet",
+    "VANet": "vanet",
+}
+
+# models whose factory branch never switches to branch5 (reference parity)
+_BRANCH1_ONLY = {"UM_Net", "MM_Net", "dkDualNet", "FRUNet", "ConvUNetXt", "UNet3Plus", "ATTUNet"}
+
 
 def register_model(name: str):
     def deco(ctor):
@@ -20,8 +39,13 @@ def register_model(name: str):
 
 def _model_kwargs(config, name: str) -> dict:
     models_cfg = getattr(config, "models", None) or {}
-    entry = models_cfg.get(name, {}) if isinstance(models_cfg, dict) else getattr(models_cfg, name, {})
-    branch = "branch5" if getattr(config.trainer, "dataset_choose", "") == "EDD_seg" else "branch1"
+    key = _CONFIG_KEYS.get(name, name)
+    entry = models_cfg.get(key, models_cfg.get(name, {}))
+    use5 = (
+        getattr(config.trainer, "dataset_choose", "") == "EDD_seg"
+        and name not in _BRANCH1_ONLY
+    )
+    branch = "branch5" if use5 else "branch1"
     kwargs = entry.get(branch, {}) if isinstance(entry, dict) else getattr(entry, branch, {})
     return dict(kwargs)
 

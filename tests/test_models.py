@@ -68,3 +68,51 @@ def test_unet_forward():
     assert out.shape == (1, 1, 64, 64)
     out_t = _run(model, x, train=True)
     assert out_t.shape == (1, 1, 64, 64)
+
+
+def test_transunet_forward():
+    from mm_unet_tpu.models.transunet import TransUNet
+
+    model = TransUNet(img_dim=64, out_channels=32, head_num=4, mlp_dim=128,
+                      block_num=2, patch_dim=16, class_num=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+def test_convunext_forward():
+    from mm_unet_tpu.models.convunext import ConvUNeXt
+
+    model = ConvUNeXt(num_classes=1, base_c=16)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+def test_cfpnet_forward():
+    from mm_unet_tpu.models.cfpnet import CFPNet
+
+    model = CFPNet(classes=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+def test_dsconv_both_morphs():
+    from mm_unet_tpu.models.dsconv import DSConv
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 8))
+    for morph in (0, 1):
+        out = _run(DSConv(out_channels=16, kernel_size=3, morph=morph), x)
+        assert out.shape == (1, 8, 8, 16)
+
+
+@pytest.mark.slow
+def test_um_net_forward():
+    from mm_unet_tpu.models.um_net import UM_Net
+
+    model = UM_Net(num_classes=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 128, 128))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
