@@ -1,0 +1,76 @@
+"""Benchmark: MM_Net training throughput, DRIVE-shaped 512x512, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` is value / REFERENCE_A100_IMG_PER_SEC. The reference repo
+publishes no numbers (BASELINE.md), so the denominator is an estimate of the
+reference PyTorch pipeline's A100 training throughput at 512^2 derived from
+its configuration (batch 5, MM-UNet with ~19 MMConv deformable convs + 4
+Mamba-v3 detours per step); it is recorded here so the ratio is reproducible
+and can be replaced by a measured number when one exists.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_A100_IMG_PER_SEC = 12.0  # estimated reference A100 train throughput
+
+BATCH = 4
+SIZE = 512
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main() -> int:
+    from mm_unet_tpu.models.mm_unet import MM_Net
+    from mm_unet_tpu.train.trainer import create_train_state, make_loss_fn, train_step
+    from mm_unet_tpu.utils.config import ConfigDict
+
+    config = ConfigDict(
+        trainer=dict(
+            lr=1e-3, warmup=2, num_epochs=3000, weight_decay=0.05,
+            steps_per_epoch=10, optimizer="adamw",
+        )
+    )
+    model = MM_Net(num_classes=1, remat=True)
+    rng = jax.random.key(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (BATCH, 3, SIZE, SIZE), jnp.float32)
+    y = (jax.random.uniform(jax.random.fold_in(rng, 2), (BATCH, 1, SIZE, SIZE)) > 0.9).astype(
+        jnp.float32
+    )
+
+    state = create_train_state(model, config, rng, x)
+    loss_fn = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
+
+    for _ in range(WARMUP_STEPS):
+        state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+        _ = float(scalars["total_loss"])  # force full sync
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+    _ = float(scalars["total_loss"])  # sync once at the end (steps chain on device)
+    dt = (time.perf_counter() - t0) / MEASURE_STEPS
+    img_per_sec = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "mmnet_train_512_images_per_sec_per_chip",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

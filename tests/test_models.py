@@ -116,3 +116,33 @@ def test_um_net_forward():
     out = _run(model, x)
     assert out.shape == (1, 1, 128, 128)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pvtv2_pyramid():
+    from mm_unet_tpu.models.pvtv2 import PVTv2
+
+    m = PVTv2(embed_dims=(16, 32, 48, 64), num_heads=(1, 2, 3, 4), depths=(1, 1, 1, 1))
+    x = jax.random.normal(jax.random.key(0), (1, 64, 64, 3))
+    vs = m.init(jax.random.key(1), x)
+    pyr = m.apply(vs, x)
+    assert [p.shape for p in pyr] == [(1, 16, 16, 16), (1, 8, 8, 32), (1, 4, 4, 48), (1, 2, 2, 64)]
+
+
+@pytest.mark.slow
+def test_fcbformer_forward():
+    from mm_unet_tpu.models.fcbformer import FCBFormer
+
+    model = FCBFormer(size=64, num_class=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_duat_forward():
+    from mm_unet_tpu.models.duat import DuAT
+
+    model = DuAT(out_channels=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
