@@ -106,19 +106,27 @@ class Bottle2neck(nn.Module):
 
 
 class Res2Net50Encoder(nn.Module):
+    """Deep-stem Res2Net-50 (CFANet's `Res2Net_model`, `CFANet.py:82-147`):
+    returns (x0 post-maxpool 64ch@1/4, layer1 256@1/4, layer2 512@1/8,
+    layer3 1024@1/16, layer4 2048@1/32)."""
+
     blocks: Sequence[int] = (3, 4, 6, 3)
     widths: Sequence[int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
-        e1 = nn.relu(h)
-        h = nn.max_pool(e1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        def bn(v):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
+
+        h = nn.relu(bn(nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)))
+        h = nn.relu(bn(nn.Conv(32, (3, 3), padding="SAME", use_bias=False)(h)))
+        h = nn.relu(bn(nn.Conv(64, (3, 3), padding="SAME", use_bias=False)(h)))
+        x0 = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
+        h = x0
         for i, (n, wdt) in enumerate(zip(self.blocks, self.widths)):
             for j in range(n):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = Bottle2neck(wdt, stride, downsample=(j == 0))(h, train)
             feats.append(h)
-        return (e1, *feats)
+        return (x0, *feats)

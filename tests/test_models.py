@@ -146,3 +146,32 @@ def test_duat_forward():
     x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
     out = _run(model, x)
     assert out.shape == (1, 1, 64, 64)
+
+
+def test_unetr_forward():
+    from mm_unet_tpu.models.unetr import UNETR
+
+    model = UNETR(out_channels=1, img_size=64, feature_size=16, hidden_size=96,
+                  mlp_dim=192, num_heads=4)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+def test_swin_unetr_forward():
+    from mm_unet_tpu.models.swin_unetr import SwinUNETR
+
+    model = SwinUNETR(out_channels=1, feature_size=12, use_checkpoint=False)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_cfanet_forward():
+    from mm_unet_tpu.models.cfanet import CFANet
+
+    model = CFANet(out_class=1, channel=64)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
