@@ -1,0 +1,175 @@
+"""VANet — CvT (convolutional transformer) encoder turned U-shaped segmenter
+(reference `/root/reference/src/VANet/VANet.py` + `models/cls_cvt.py`):
+conv patch embeds, attention with depthwise-conv + BN projections
+(stride-2 k/v), mask-guided attention (`r` prior multiplies attention by a
+normalised |r_q x r_kv| + 1 map, `cls_cvt.py:434-460`), PatchExpand decoder,
+sigmoid-before-upsample output (ref parity)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_unet_tpu.models.layers import nchw_to_nhwc, nhwc_to_nchw, resize_bilinear_align_corners
+from mm_unet_tpu.models.registry import register_model
+
+Array = jax.Array
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ConvProj(nn.Module):
+    """Depthwise conv + BN projection (CvT 'dw_bn')."""
+
+    dim: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.dim, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", feature_group_count=self.dim, use_bias=False)(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        return h
+
+
+class CvTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    stride_kv: int = 1
+    pool_kv: bool = False  # avg-pool k/v 2x (encoder stage2 odd blocks)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, r=None):
+        b, H, W, c = x.shape
+        q = ConvProj(self.dim, 1)(x, train)
+        k = ConvProj(self.dim, self.stride_kv)(x, train)
+        v = ConvProj(self.dim, self.stride_kv)(x, train)
+        if self.pool_kv:
+            k = nn.avg_pool(k, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            v = nn.avg_pool(v, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        hk, wk = k.shape[1:3]
+
+        nh = self.num_heads
+        hd = self.dim // nh
+        qt = nn.Dense(self.dim, use_bias=False)(q.reshape(b, H * W, c)).reshape(b, -1, nh, hd)
+        kt = nn.Dense(self.dim, use_bias=False)(k.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
+        vt = nn.Dense(self.dim, use_bias=False)(v.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
+        att = jnp.einsum("blhd,bthd->bhlt", qt, kt) * (self.dim ** -0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        if r is not None:
+            alpha = self.param("alpha", nn.initializers.ones, ())
+            r0 = resize_bilinear_align_corners(r, (H, W)).reshape(b, H * W, -1)
+            r1 = resize_bilinear_align_corners(r, (hk, wk)).reshape(b, hk * wk, -1)
+            guide = jnp.abs(jnp.einsum("bxc,byc->bxy", r0, r1))[:, None] + 1.0
+            guide = guide / jnp.max(guide, axis=3, keepdims=True)
+            att = alpha * guide * att
+        out = jnp.einsum("bhlt,bthd->blhd", att, vt).reshape(b, H * W, self.dim)
+        out = nn.Dense(self.dim)(out)
+        return out.reshape(b, H, W, self.dim)
+
+
+class CvTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    stride_kv: int = 1
+    pool_kv: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, r=None):
+        h = nn.LayerNorm(epsilon=1e-5)(x)
+        h = CvTAttention(self.dim, self.num_heads, self.stride_kv, self.pool_kv)(
+            h, train, r
+        )
+        x = x + h
+        m = nn.LayerNorm(epsilon=1e-5)(x)
+        m = nn.Dense(int(self.dim * self.mlp_ratio))(m)
+        m = quick_gelu(m)
+        m = nn.Dense(self.dim)(m)
+        return x + m
+
+
+class PatchMerge(nn.Module):
+    dim: int
+    patch: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch
+        pad = self.stride // 2 if p != 7 else 2
+        x = nn.Conv(self.dim, (p, p), strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)))(x)
+        return nn.LayerNorm(epsilon=1e-5)(x)
+
+
+class PatchExpand(nn.Module):
+    dim: int
+    patch: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        x1 = resize_bilinear_align_corners(
+            x1, (x1.shape[1] * self.stride, x1.shape[2] * self.stride)
+        )
+        p = self.patch
+        h = nn.Conv(self.dim, (p, p), padding="SAME")(jnp.concatenate([x1, x2], -1))
+        return nn.LayerNorm(epsilon=1e-5)(h)
+
+
+@register_model("VANet")
+class VANet(nn.Module):
+    cfg: str = ""  # yacs config path (reference parity; dims given directly)
+    embed_dims: tuple = (64, 192, 384)
+    depths: tuple = (1, 2, 10)
+    mlp_ratios: tuple = (4, 4, 4)
+    num_heads: tuple = (1, 3, 6)
+    strides: tuple = (4, 2, 2)
+    proj_drop: float = 0.1
+    attn_drop: float = 0.1
+    drop_path: float = 0.1
+    num_class: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nchw_to_nhwc(x)
+        in_hw = x.shape[1:3]
+        dims, heads, mr = self.embed_dims, self.num_heads, self.mlp_ratios
+
+        # encoder stage 0 / 1 (full CvT stages)
+        f0 = PatchMerge(dims[0], 7, self.strides[0])(x)
+        for _ in range(self.depths[0]):
+            f0 = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2)(f0, train)
+        f1 = PatchMerge(dims[1], 3, self.strides[1])(f0)
+        for _ in range(self.depths[1]):
+            f1 = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2)(f1, train)
+
+        # encoder stage 2 = first half of CvT stage-2 blocks
+        f = PatchMerge(dims[2], 3, self.strides[2])(f1)
+        for i in range(self.depths[2] // 2):
+            f = CvTBlock(dims[2], heads[2], mr[2], stride_kv=1 if i % 2 else 2,
+                         pool_kv=(i % 2 == 1))(f, train)
+        out0 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
+
+        # decoder stage 0 = second half, guided by out0
+        for _ in range(self.depths[2] - self.depths[2] // 2):
+            f = CvTBlock(dims[2], heads[2], mr[2], stride_kv=2)(f, train, r=out0)
+        out1 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
+
+        f = PatchExpand(dims[1], 2 * self.strides[2] - 1, self.strides[2])(f, f1)
+        for _ in range(self.depths[1]):
+            f = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2)(f, train, r=out1)
+        out2 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
+
+        f = PatchExpand(dims[0], 2 * self.strides[1] - 1, self.strides[1])(f, f0)
+        for _ in range(self.depths[0]):
+            f = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2)(f, train, r=out2)
+        out3 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
+
+        out = jax.nn.sigmoid(out3)  # ref parity: sigmoid before upsample
+        out = resize_bilinear_align_corners(out, in_hw)
+        return nhwc_to_nchw(out)

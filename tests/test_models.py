@@ -175,3 +175,56 @@ def test_cfanet_forward():
     x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
     out = _run(model, x)
     assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_dkdualnet_forward():
+    from mm_unet_tpu.models.dkdualnet import dkDualNet
+
+    model = dkDualNet(out_channels=1, dims=(16, 32, 64, 128), num_slices_list=(4, 4, 2, 2))
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_pvt_cascade_forward():
+    from mm_unet_tpu.models.pvt_cascade import PVT_CASCADE
+
+    model = PVT_CASCADE(o_class=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_cvc_unetr_forward():
+    from mm_unet_tpu.models.cvc_unetr import CVC_Unetr
+
+    model = CVC_Unetr(out_channels=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_bmanet_forward():
+    from mm_unet_tpu.models.bmanet import BMANet
+
+    model = BMANet(out_channel=1)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
+    vals = np.asarray(out)
+    assert (vals >= 0).all() and (vals <= 1).all()  # sigmoid-before-upsample
+
+
+@pytest.mark.slow
+def test_vanet_forward():
+    from mm_unet_tpu.models.vanet import VANet
+
+    model = VANet(num_class=1, depths=(1, 2, 2), embed_dims=(32, 64, 96),
+                  num_heads=(1, 2, 3))
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
