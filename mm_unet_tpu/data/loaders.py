@@ -109,6 +109,15 @@ class DataLoader:
             return max(n // self.batch_size, 1)
         return -(-n // self.batch_size)
 
+    def _resize_label(self, lbl: np.ndarray, s: int) -> np.ndarray:
+        lbl = (lbl > 0.5).astype(np.float32)
+        if lbl.ndim == 3:  # multi-class (EDD): per-channel nearest resize
+            return np.stack(
+                [T.resize_image(lbl[..., c], (s, s), nearest=True)
+                 for c in range(lbl.shape[-1])], axis=-1,
+            )
+        return T.resize_image(lbl, (s, s), nearest=True)
+
     def _prep(self, img: np.ndarray, lbl: np.ndarray, idx: int):
         s = self.image_size
         if self.train:
@@ -120,14 +129,14 @@ class DataLoader:
                 j = int(self.rng.integers(len(self.ds)))
                 img, lbl = T.cut_mix(self.rng, img, lbl, self.ds.images[j], self.ds.labels[j])
             img = T.resize_image(img, (s, s))
-            lbl = T.resize_image((lbl > 0.5).astype(np.float32), (s, s), nearest=True)
+            lbl = self._resize_label(lbl, s)
         else:
             if self.pad_val:
                 img = T.center_padding(img, s, s)
                 lbl = T.center_padding(lbl, s, s)
             if img.shape[:2] != (s, s):
                 img = T.resize_image(img, (s, s))
-                lbl = T.resize_image((lbl > 0.5).astype(np.float32), (s, s), nearest=True)
+                lbl = self._resize_label(lbl, s)
         img = T.normalize(img, self.mean, self.std)
         lbl = (lbl > 0.5).astype(np.float32)
         if lbl.ndim == 2:
@@ -213,6 +222,36 @@ def _load_polyp(config, dataset_name: str):
     return make(names[:n_train]), make(names[n_train:])
 
 
+def _load_edd(config):
+    """EDD2020 5-class: builds a 5-channel mask from per-class `_<key>.tif`
+    files (reference `EDDLoader.py:10-29,49-60`, EDD_KEY_MAPPING)."""
+    params = config.dataset["EDD_seg"]
+    root = params.data_root
+    img_dir = os.path.join(root, params.get("image_subdir", "originalImages"))
+    msk_dir = os.path.join(root, params.get("label_subdir", "masks"))
+    names = sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) else []
+    ratio = float(config.trainer.get("train_ratio", 0.8))
+    n_train = int(len(names) * ratio)
+
+    def make(subset):
+        ds = ArrayDataset([], [], [])
+        for fname in subset:
+            base = os.path.splitext(fname)[0]
+            img = _imread(os.path.join(img_dir, fname))
+            h, w = img.shape[:2]
+            mask = np.zeros((h, w, 5), np.float32)
+            for ci, key in enumerate(EDD_KEY_MAPPING):
+                mp = os.path.join(msk_dir, f"{base}_{key}.tif")
+                if os.path.exists(mp):
+                    mask[..., ci] = _imread_mask(mp)
+            ds.images.append(img)
+            ds.labels.append(mask)
+            ds.paths.append((os.path.join(img_dir, fname), msk_dir))
+        return ds
+
+    return make(names[:n_train]), make(names[n_train:])
+
+
 def make_synthetic(n: int, hw: int, seed: int = 0) -> ArrayDataset:
     """Vessel-like synthetic data: random smooth curves on textured retina
     discs. Used by tests and the bench when no dataset is mounted."""
@@ -259,6 +298,12 @@ def get_dataloader(config, dataset_choose: Optional[str] = None):
     elif name in ("CVC_ClinicDB", "Kvasir_SEG", "PolypGen", "Sun_seg"):
         if root and os.path.isdir(root):
             train_ds, val_ds = _load_polyp(config, name)
+        else:
+            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            val_ds = make_synthetic(2, size, seed + 1)
+    elif name == "EDD_seg":
+        if root and os.path.isdir(root):
+            train_ds, val_ds = _load_edd(config)
         else:
             train_ds = make_synthetic(max(bs * 2, 8), size, seed)
             val_ds = make_synthetic(2, size, seed + 1)
