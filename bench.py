@@ -16,8 +16,16 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 REFERENCE_A100_IMG_PER_SEC = 12.0  # estimated reference A100 train throughput
 

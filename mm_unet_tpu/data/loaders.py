@@ -143,26 +143,52 @@ class DataLoader:
             lbl = lbl[..., None]
         return T.to_nchw(img), T.to_nchw(lbl)
 
+    def _native_batch(self, idxs, epoch: int):
+        """Threaded C++ batch prep (mm_unet_tpu.runtime) — the fast path for
+        single-class datasets without the LAB colour-exchange augmentation."""
+        from mm_unet_tpu import runtime
+
+        if runtime.get_lib() is None or self.color_exchange or self.cutmix:
+            return None
+        if any(self.ds.labels[j].ndim != 2 for j in idxs):
+            return None
+        images = [self.ds.images[j] for j in idxs]
+        labels = [self.ds.labels[j] for j in idxs]
+        if not self.train and self.pad_val:
+            s = self.image_size
+            images = [T.center_padding(im, s, s) for im in images]
+            labels = [T.center_padding(lb, s, s) for lb in labels]
+        img, lbl = runtime.prepare_batch(
+            images, labels, np.asarray(idxs), self.image_size,
+            self.mean, self.std, seed=int(self.rng.integers(2**31)) if self.train else 0,
+            epoch=epoch, train=self.train,
+        )
+        return img, lbl
+
     def __iter__(self) -> Iterator[dict]:
         n = len(self.ds)
         order = self.rng.permutation(n) if self.train else np.arange(n)
         bs = self.batch_size
         stop = (n // bs) * bs if self.train and n >= bs else n
+        self._epoch = getattr(self, "_epoch", -1) + 1
         for i in range(0, max(stop, 1), bs):
             idxs = order[i : i + bs]
             if len(idxs) == 0:
                 break
-            imgs, lbls = [], []
-            for j in idxs:
-                im, lb = self._prep(self.ds.images[j], self.ds.labels[j], j)
-                imgs.append(im)
-                lbls.append(lb)
-            # pad ragged val batch by repeating the last sample (masked later
-            # is unnecessary: val batches are per-image metrics on real items
-            # only — we simply emit the smaller batch for val)
+            native = self._native_batch(idxs, self._epoch)
+            if native is not None:
+                imgs_arr, lbls_arr = native
+            else:
+                imgs, lbls = [], []
+                for j in idxs:
+                    im, lb = self._prep(self.ds.images[j], self.ds.labels[j], j)
+                    imgs.append(im)
+                    lbls.append(lb)
+                imgs_arr = np.stack(imgs).astype(np.float32)
+                lbls_arr = np.stack(lbls).astype(np.float32)
             yield {
-                "image": np.stack(imgs).astype(np.float32),
-                "label": np.stack(lbls).astype(np.float32),
+                "image": imgs_arr,
+                "label": lbls_arr,
                 "paths": [self.ds.paths[j] if self.ds.paths else ("", "") for j in idxs],
             }
 
