@@ -1,0 +1,160 @@
+"""Mamba language-model extras — inventory parity with the vendored stack
+(`/root/reference/requirements/Mamba/mamba/mamba_ssm/models/mixer_seq_simple.py`
+MixerModel/MambaLMHeadModel and `utils/generation.py` decode loop). Unused by
+the segmentation trainer (as in the reference) but provided so the framework
+covers the full component inventory, including the single-token decode path
+(`mamba_simple.py:364-409` step()) on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm_unet_tpu.models.mamba import Block, Mamba
+from mm_unet_tpu.ops.causal_conv1d import causal_conv1d_update
+from mm_unet_tpu.ops.state_update import selective_state_update
+
+Array = jax.Array
+
+
+class MixerModel(nn.Module):
+    """Embedding + n_layer prenorm Mamba blocks + final norm
+    (`mixer_seq_simple.py:83-170`)."""
+
+    d_model: int
+    n_layer: int
+    vocab_size: int
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, input_ids: Array) -> Array:
+        h = nn.Embed(self.vocab_size, self.d_model, name="embedding")(input_ids)
+        residual = None
+        for i in range(self.n_layer):
+            h, residual = Block(
+                dim=self.d_model,
+                mamba_kwargs={"d_state": self.d_state, "bimamba_type": "none"},
+                name=f"layers_{i}",
+            )(h, residual)
+        residual = h + residual if residual is not None else h
+        return nn.LayerNorm(name="norm_f")(residual)
+
+
+class MambaLMHeadModel(nn.Module):
+    """MixerModel with a weight-tied LM head (`mixer_seq_simple.py:173-233`)."""
+
+    d_model: int
+    n_layer: int
+    vocab_size: int
+    d_state: int = 16
+
+    @nn.compact
+    def __call__(self, input_ids: Array) -> Array:
+        h = MixerModel(self.d_model, self.n_layer, self.vocab_size,
+                       self.d_state, name="backbone")(input_ids)
+        embed = self.variables["params"]["backbone"]["embedding"]["embedding"]
+        return h @ embed.T  # tied head
+
+
+def mamba_step(params, x, conv_state, ssm_state, d_state=16, d_conv=4, expand=2):
+    """Functional single-token Mamba step (reference `mamba_simple.py:364-409`)
+    for bimamba_type='none' layers. x: (B, d_model); states roll forward.
+
+    Returns (y (B, d_model), new_conv_state, new_ssm_state)."""
+    d_model = params["out_proj_weight"].shape[0]
+    d_inner = expand * d_model
+    r = math.ceil(d_model / 16)
+    xz = x @ params["in_proj_weight"].T  # (B, 2*d_inner)
+    xi, z = jnp.split(xz, 2, axis=-1)
+
+    xi, conv_state = causal_conv1d_update(
+        xi, conv_state, params["conv1d_weight"], params.get("conv1d_bias"),
+        activation="silu",
+    )
+    x_dbl = xi @ params["x_proj_weight"].T  # (B, r + 2N)
+    dt = x_dbl[:, :r] @ params["dt_proj_weight"].T
+    Bv = x_dbl[:, r : r + d_state]
+    Cv = x_dbl[:, r + d_state :]
+    A = -jnp.exp(params["A_log"].astype(jnp.float32))
+    y, ssm_state = selective_state_update(
+        ssm_state, xi, dt, A, Bv, Cv,
+        D=params["D"], z=z, dt_bias=params["dt_proj_bias"], dt_softplus=True,
+    )
+    return y @ params["out_proj_weight"].T, conv_state, ssm_state
+
+
+def generate(
+    model: MambaLMHeadModel,
+    variables,
+    input_ids: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Greedy / top-k sampling decode loop (`utils/generation.py:207`
+    analogue): prefill with the full forward, then per-token functional steps
+    with rolling conv/SSM caches, all under jit-able ops."""
+    params = variables["params"]["backbone"]
+    n_layer = model.n_layer
+    d_model = model.d_model
+    d_inner = 2 * d_model
+    b = input_ids.shape[0]
+
+    tokens = input_ids
+    conv_states = [jnp.zeros((b, d_inner, 4), jnp.float32) for _ in range(n_layer)]
+    ssm_states = [jnp.zeros((b, d_inner, model.d_state), jnp.float32) for _ in range(n_layer)]
+
+    # warm the caches by stepping through the prompt
+    embed = params["embedding"]["embedding"]
+    for t in range(input_ids.shape[1]):
+        h = embed[tokens[:, t]]
+        residual = None
+        for i in range(n_layer):
+            lp = params[f"layers_{i}"]
+            residual = h + residual if residual is not None else h
+            hn = _layernorm(residual, lp["LayerNorm_0"])
+            h, conv_states[i], ssm_states[i] = mamba_step(
+                lp["Mamba_0"], hn, conv_states[i], ssm_states[i], model.d_state
+            )
+        final = h + residual
+        final = _layernorm(final, params["norm_f"])
+        logits = final @ embed.T
+
+    if rng is None:
+        rng = jax.random.key(0)
+    out = [tokens]
+    cur = None
+    for _ in range(max_new_tokens):
+        if top_k is not None:
+            rng, sub = jax.random.split(rng)
+            v, idx = jax.lax.top_k(logits / max(temperature, 1e-6), top_k)
+            choice = jax.random.categorical(sub, v)
+            cur = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+        else:
+            cur = jnp.argmax(logits, axis=-1)
+        out.append(cur[:, None])
+        h = embed[cur]
+        residual = None
+        for i in range(n_layer):
+            lp = params[f"layers_{i}"]
+            residual = h + residual if residual is not None else h
+            hn = _layernorm(residual, lp["LayerNorm_0"])
+            h, conv_states[i], ssm_states[i] = mamba_step(
+                lp["Mamba_0"], hn, conv_states[i], ssm_states[i], model.d_state
+            )
+        final = h + residual
+        final = _layernorm(final, params["norm_f"])
+        logits = final @ embed.T
+    return jnp.concatenate(out, axis=1)
+
+
+def _layernorm(x, p, eps=1e-5):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]

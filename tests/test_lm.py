@@ -1,0 +1,54 @@
+"""LM extras: decode step parity with the parallel scan, generation loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_unet_tpu.models.lm import MambaLMHeadModel, generate
+
+
+def test_decode_step_matches_parallel_forward():
+    model = MambaLMHeadModel(d_model=16, n_layer=2, vocab_size=50, d_state=8)
+    ids = jax.random.randint(jax.random.key(0), (2, 8), 0, 50)
+    variables = model.init(jax.random.key(1), ids)
+
+    full = model.apply(variables, ids)  # (B, L, V) via parallel scan
+
+    # decode loop: generate 0 new tokens -> logits after consuming the prompt
+    out = generate(model, variables, ids, max_new_tokens=1)
+    assert out.shape == (2, 9)
+
+    # stepwise logits at the last prompt position must match the parallel scan
+    from mm_unet_tpu.models.lm import _layernorm, mamba_step
+
+    params = variables["params"]["backbone"]
+    embed = params["embedding"]["embedding"]
+    b = ids.shape[0]
+    conv_states = [jnp.zeros((b, 32, 4)) for _ in range(2)]
+    ssm_states = [jnp.zeros((b, 32, 8)) for _ in range(2)]
+    logits = None
+    for t in range(ids.shape[1]):
+        h = embed[ids[:, t]]
+        residual = None
+        for i in range(2):
+            lp = params[f"layers_{i}"]
+            residual = h + residual if residual is not None else h
+            hn = _layernorm(residual, lp["LayerNorm_0"])
+            h, conv_states[i], ssm_states[i] = mamba_step(
+                lp["Mamba_0"], hn, conv_states[i], ssm_states[i], d_state=8
+            )
+        final = _layernorm(h + residual, params["norm_f"])
+        logits = final @ embed.T
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, -1]), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_generate_greedy_deterministic():
+    model = MambaLMHeadModel(d_model=16, n_layer=1, vocab_size=30, d_state=8)
+    ids = jax.random.randint(jax.random.key(0), (1, 4), 0, 30)
+    variables = model.init(jax.random.key(1), ids)
+    a = generate(model, variables, ids, max_new_tokens=5)
+    b = generate(model, variables, ids, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (1, 9)
