@@ -191,7 +191,14 @@ def selective_scan(
     where last_state is (B, D, N) (gradient does not flow through last_state,
     matching the reference).
     """
-    impl = implementation or _DEFAULT_IMPL
+    import os
+
+    impl = os.environ.get("MMU_SCAN_IMPL") or implementation or _DEFAULT_IMPL
+    if impl == "bypass":  # profiling ablation: skip the recurrence entirely
+        out = _finalize(u.astype(jnp.float32), u.astype(jnp.float32), D, z, u.dtype)
+        if return_last_state:
+            return out, jnp.zeros((u.shape[0], u.shape[1], A.shape[1]), jnp.float32)
+        return out
     if impl == "auto":
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         impl = "pallas" if on_tpu else "assoc"
