@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mm_unet_tpu.models.layers import grid_sample_bilinear_nhwc
+from mm_unet_tpu.models.layers import deform_sample_rows, grid_sample_bilinear_nhwc
 from mm_unet_tpu.ops.geometry import accumulate_offsets_from_center_last
 
 Array = jax.Array
@@ -48,10 +48,11 @@ class DSConv(nn.Module):
 
         if self.morph == 0:
             y_new = rows + accumulate_offsets_from_center_last(y_off) * self.extend_scope
-            x_new = jnp.broadcast_to(cols + spread, y_new.shape)
-            # (B,H,W,K) -> (B, H*K, W): taps consecutive per row
-            y_map = y_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
-            x_map = x_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+            # fast path: integer x taps -> column shift + row interpolation
+            deformed = deform_sample_rows(x, y_new, [j - center for j in range(k)])
+            out = nn.Conv(self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
+                          name="dsc_conv_x")(deformed)
+            return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
         else:
             x_new = cols + accumulate_offsets_from_center_last(x_off) * self.extend_scope
             y_new = jnp.broadcast_to(rows + spread, x_new.shape)
@@ -63,11 +64,6 @@ class DSConv(nn.Module):
         x_s = jnp.clip(x_map, 0, w - 1) * (2.0 / max(w - 1, 1)) - 1.0
         grid = jnp.stack([x_s, y_s], axis=-1)
         deformed = grid_sample_bilinear_nhwc(x, grid)
-
-        if self.morph == 0:
-            out = nn.Conv(self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
-                          name="dsc_conv_x")(deformed)
-        else:
-            out = nn.Conv(self.out_channels, (1, k), strides=(1, k), padding="VALID",
-                          name="dsc_conv_y")(deformed)
+        out = nn.Conv(self.out_channels, (1, k), strides=(1, k), padding="VALID",
+                      name="dsc_conv_y")(deformed)
         return nn.GroupNorm(num_groups=self.out_channels // 4)(out)

@@ -53,8 +53,13 @@ def grid_sample_bilinear_nhwc(feat: Array, grid: Array) -> Array:
     """NHWC variant of torch-parity grid_sample (bilinear, zeros padding,
     align_corners=True). feat: (B, H, W, C); grid: (B, Hg, Wg, 2) xy in
     [-1, 1]. Returns (B, Hg, Wg, C)."""
+    import os
+
     b, h, w, c = feat.shape
     _, hg, wg, _ = grid.shape
+    if os.environ.get("MMU_GRIDSAMPLE") == "bypass" and hg % h == 0 and wg == w:
+        # profiling ablation: replicate rows instead of sampling
+        return jnp.repeat(feat, hg // h, axis=1)
     gf = grid.astype(jnp.float32)
     x = (gf[..., 0] + 1.0) * 0.5 * (w - 1)
     y = (gf[..., 1] + 1.0) * 0.5 * (h - 1)
@@ -102,3 +107,45 @@ def nchw_to_nhwc(x: Array) -> Array:
 
 def nhwc_to_nchw(x: Array) -> Array:
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def deform_sample_rows(feat: Array, y_coords: Array, x_shifts) -> Array:
+    """Specialised MMConv/DSConv morph-0 deformable sampling.
+
+    The reference's coordinate maps clamp x to integer column positions
+    (`MMUNet.py:145,237`: x = col + linspace(-c, c, k), then clamp), so
+    bilinear sampling degenerates to an edge-clamped column shift per kernel
+    tap plus a 1-D interpolation along rows. This does 2 gathers per tap on
+    (B, H, W, C) instead of 4 gathers on (B, H*K, W, C) — half the
+    gather/scatter volume of generic grid_sample, with identical results for
+    integer x.
+
+    feat: (B, H, W, C); y_coords: (B, H, W, K) absolute row coordinates
+    (pre-clamp); x_shifts: K static ints (tap offsets j - center).
+    Returns (B, H*K, W, C), taps consecutive per row.
+    """
+    b, h, w, c = feat.shape
+    k = y_coords.shape[-1]
+    y = jnp.clip(y_coords, 0, h - 1)
+    y0 = jnp.floor(y)
+    wy = (y - y0).astype(feat.dtype)
+    y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    taps = []
+    for j, dx in enumerate(x_shifts):
+        if dx == 0:
+            xs = feat
+        elif dx > 0:
+            xs = jnp.concatenate(
+                [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], dx, axis=2)], axis=2
+            )
+        else:
+            xs = jnp.concatenate(
+                [jnp.repeat(feat[:, :, :1], -dx, axis=2), feat[:, :, :dx]], axis=2
+            )
+        v0 = jnp.take_along_axis(xs, y0i[..., j : j + 1], axis=1)
+        v1 = jnp.take_along_axis(xs, y1i[..., j : j + 1], axis=1)
+        taps.append(v0 * (1 - wy[..., j : j + 1]) + v1 * wy[..., j : j + 1])
+    out = jnp.stack(taps, axis=2)  # (B, H, K, W, C)
+    return out.reshape(b, h * k, w, c)

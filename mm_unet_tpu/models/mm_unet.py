@@ -32,6 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 from mm_unet_tpu.models.layers import (
+    deform_sample_rows,
     grid_sample_bilinear_nhwc,
     nchw_to_nhwc,
     nhwc_to_nchw,
@@ -96,16 +97,19 @@ class MMConv(nn.Module):
         weight = jnp.clip(jax.nn.softplus(altho), min=0.01)
         y = weight * y_keep + y_new  # (MMUNet.py:186-188)
 
-        # (B, H, W, K) -> coordinate maps (B, H*K, W), taps consecutive per row
-        y_map = y.transpose(0, 1, 3, 2).reshape(b, h * k, w)
-        x_map = x_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+        if self.morph == 0:
+            # fast path: x taps are integer column shifts (clamped), so
+            # sampling reduces to per-tap column shift + row interpolation
+            shifts = [j - center for j in range(k)]
+            deformed = deform_sample_rows(x, y, shifts)  # (B, H*K, W, C)
+        else:
+            # generic grid_sample (clamp + rescale to [-1,1], MMUNet.py:229-242)
+            y_map = y.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+            x_map = x_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+            y_s = jnp.clip(y_map, 0, h - 1) * (2.0 / max(h - 1, 1)) - 1.0
+            x_s = jnp.clip(x_map, 0, w - 1) * (2.0 / max(w - 1, 1)) - 1.0
+            deformed = grid_sample_bilinear_nhwc(x, jnp.stack([x_s, y_s], axis=-1))
 
-        # clamp + rescale to [-1, 1] (MMUNet.py:229-242)
-        y_s = jnp.clip(y_map, 0, h - 1) * (2.0 / max(h - 1, 1)) - 1.0
-        x_s = jnp.clip(x_map, 0, w - 1) * (2.0 / max(w - 1, 1)) - 1.0
-        grid = jnp.stack([x_s, y_s], axis=-1)
-
-        deformed = grid_sample_bilinear_nhwc(x, grid)  # (B, H*K, W, C)
         if self.morph == 0:
             out = nn.Conv(
                 self.out_channels, (k, 1), strides=(k, 1), padding="VALID", name="dsc_conv_x"

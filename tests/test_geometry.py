@@ -68,3 +68,29 @@ def test_grid_sample_identity():
     grid = np.stack([xs, ys], axis=-1)[None].astype(np.float32)
     got = np.asarray(grid_sample_bilinear(jnp.asarray(feat), jnp.asarray(grid)))
     np.testing.assert_allclose(got, feat, rtol=1e-5, atol=1e-5)
+
+
+def test_deform_sample_rows_matches_grid_sample():
+    """The specialised morph-0 sampler must match generic grid_sample for
+    integer x-taps (the only configuration MMConv/DSConv morph-0 produce)."""
+    from mm_unet_tpu.models.layers import deform_sample_rows, grid_sample_bilinear_nhwc
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, k = 2, 9, 7, 4, 3
+    feat = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    y = (rng.uniform(-2, H + 2, size=(B, H, W, k))).astype(np.float32)
+
+    center = k // 2
+    fast = deform_sample_rows(jnp.asarray(feat), jnp.asarray(y),
+                              [j - center for j in range(k)])
+
+    cols = np.arange(W, dtype=np.float32)[None, None, :, None]
+    spread = np.linspace(-center, center, k, dtype=np.float32)[None, None, None, :]
+    x_new = np.broadcast_to(cols + spread, y.shape)
+    y_map = np.transpose(y, (0, 1, 3, 2)).reshape(B, H * k, W)
+    x_map = np.transpose(x_new, (0, 1, 3, 2)).reshape(B, H * k, W)
+    y_s = np.clip(y_map, 0, H - 1) * (2.0 / (H - 1)) - 1.0
+    x_s = np.clip(x_map, 0, W - 1) * (2.0 / (W - 1)) - 1.0
+    grid = np.stack([x_s, y_s], axis=-1)
+    want = grid_sample_bilinear_nhwc(jnp.asarray(feat), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(want), rtol=1e-4, atol=1e-5)
