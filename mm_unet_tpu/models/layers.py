@@ -149,3 +149,39 @@ def deform_sample_rows(feat: Array, y_coords: Array, x_shifts) -> Array:
         taps.append(v0 * (1 - wy[..., j : j + 1]) + v1 * wy[..., j : j + 1])
     out = jnp.stack(taps, axis=2)  # (B, H, K, W, C)
     return out.reshape(b, h * k, w, c)
+
+
+def deform_sample_rows_gather(feat: Array, y_coords: Array, x_shifts) -> Array:
+    """Single-gather variant of `deform_sample_rows`: one lax.gather of
+    (2-row, C) windows per (position, tap), with the integer column shift
+    folded into the gather indices — no shifted feature copies, half the
+    gather count. Exactly equivalent for h >= 2."""
+    b, h, w, c = feat.shape
+    k = len(x_shifts)
+    if h < 2:
+        return deform_sample_rows(feat, y_coords, x_shifts)
+    yc = jnp.clip(y_coords, 0, h - 1)
+    y0 = jnp.minimum(jnp.floor(yc), h - 2)
+    wy = (yc - y0).astype(feat.dtype)
+    y0i = y0.astype(jnp.int32)  # (B, H, W, K)
+
+    xw = jnp.clip(
+        jnp.arange(w, dtype=jnp.int32)[None, None, :, None]
+        + jnp.asarray(x_shifts, jnp.int32)[None, None, None, :],
+        0, w - 1,
+    )
+    xw = jnp.broadcast_to(xw, y0i.shape)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, y0i.shape, 0)
+    idx = jnp.stack([bidx, y0i, xw], axis=-1).reshape(-1, 3)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(0, 2),
+        start_index_map=(0, 1, 2),
+    )
+    out = jax.lax.gather(
+        feat, idx, dn, slice_sizes=(1, 2, 1, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(b, h, w, k, 2, c)
+    v = out[..., 0, :] * (1 - wy[..., None]) + out[..., 1, :] * wy[..., None]
+    return v.transpose(0, 1, 3, 2, 4).reshape(b, h * k, w, c)

@@ -63,6 +63,7 @@ class MMConv(nn.Module):
     extend_scope: float = 1.0
     morph: int = 0
     num_slices: int = 4
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -97,33 +98,40 @@ class MMConv(nn.Module):
         weight = jnp.clip(jax.nn.softplus(altho), min=0.01)
         y = weight * y_keep + y_new  # (MMUNet.py:186-188)
 
-        if self.morph == 0:
-            # fast path: x taps are integer column shifts (clamped), so
-            # sampling reduces to per-tap column shift + row interpolation
-            shifts = [j - center for j in range(k)]
-            deformed = deform_sample_rows(x, y, shifts)  # (B, H*K, W, C)
-        else:
-            # generic grid_sample (clamp + rescale to [-1,1], MMUNet.py:229-242)
-            y_map = y.transpose(0, 1, 3, 2).reshape(b, h * k, w)
-            x_map = x_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
-            y_s = jnp.clip(y_map, 0, h - 1) * (2.0 / max(h - 1, 1)) - 1.0
-            x_s = jnp.clip(x_map, 0, w - 1) * (2.0 / max(w - 1, 1)) - 1.0
-            deformed = grid_sample_bilinear_nhwc(x, jnp.stack([x_s, y_s], axis=-1))
+        def sample_conv(mdl, x, y):
+            """Deform-sample + strided conv + GroupNorm. This (not the Mamba)
+            is the memory hog — the (B, H*K, W, C) deformed tensor — so the
+            remat boundary wraps exactly this part: recomputed in backward,
+            while the scan's own chunk-state checkpointing stays untouched."""
+            if self.morph == 0:
+                # fast path: x taps are integer column shifts (clamped), so
+                # sampling reduces to per-tap column shift + row interpolation
+                deformed = deform_sample_rows(x, y, [j - center for j in range(k)])
+                out = nn.Conv(
+                    self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
+                    name="dsc_conv_x",
+                )(deformed)
+            else:
+                # generic grid_sample (clamp + rescale to [-1,1], MMUNet.py:229-242)
+                y_map = y.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+                x_map = x_new.transpose(0, 1, 3, 2).reshape(b, h * k, w)
+                y_s = jnp.clip(y_map, 0, h - 1) * (2.0 / max(h - 1, 1)) - 1.0
+                x_s = jnp.clip(x_map, 0, w - 1) * (2.0 / max(w - 1, 1)) - 1.0
+                deformed = grid_sample_bilinear_nhwc(x, jnp.stack([x_s, y_s], axis=-1))
+                out = nn.Conv(
+                    self.out_channels, (1, k), strides=(1, k), padding="VALID",
+                    name="dsc_conv_y",
+                )(deformed)
+            return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
 
-        if self.morph == 0:
-            out = nn.Conv(
-                self.out_channels, (k, 1), strides=(k, 1), padding="VALID", name="dsc_conv_x"
-            )(deformed)
-        else:
-            out = nn.Conv(
-                self.out_channels, (1, k), strides=(1, k), padding="VALID", name="dsc_conv_y"
-            )(deformed)
-        return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
+        if self.remat:
+            sample_conv = nn.remat(sample_conv)
+        return sample_conv(self, x, y)
 
 
 def _mmconv(out_ch, k, ns, name=None, remat=False):
-    cls = nn.remat(MMConv, static_argnums=(2,)) if remat else MMConv
-    return cls(out_channels=out_ch, kernel_size=k, num_slices=ns, name=name)
+    return MMConv(out_channels=out_ch, kernel_size=k, num_slices=ns, name=name,
+                  remat=remat)
 
 
 class CBAM(nn.Module):
