@@ -185,3 +185,44 @@ def deform_sample_rows_gather(feat: Array, y_coords: Array, x_shifts) -> Array:
     ).reshape(b, h, w, k, 2, c)
     v = out[..., 0, :] * (1 - wy[..., None]) + out[..., 1, :] * wy[..., None]
     return v.transpose(0, 1, 3, 2, 4).reshape(b, h * k, w, c)
+
+
+def deform_sample_rows_matmul(feat: Array, y_coords: Array, x_shifts) -> Array:
+    """Gather-free morph-0 deformable sampling: the row interpolation is a
+    batched (H_out x H_src) @ (H_src x C) matmul with a 2-hot bilinear weight
+    matrix built by broadcasted comparison — runs on the MXU, and its
+    backward is another matmul (no scatter). The TPU-native replacement for
+    grid_sample's gathers on the hot path.
+
+    feat: (B, H, W, C); y_coords: (B, H, W, K); x_shifts: K static ints.
+    Returns (B, H*K, W, C), taps consecutive per row.
+    """
+    b, h, w, c = feat.shape
+    k = y_coords.shape[-1]
+    yc = jnp.clip(y_coords, 0, h - 1)
+    y0 = jnp.minimum(jnp.floor(yc), max(h - 2, 0))
+    wy = (yc - y0).astype(feat.dtype)
+    y0 = y0.astype(feat.dtype)
+
+    src = jnp.arange(h, dtype=feat.dtype)  # source row ids
+    # M[b,h,w,k,s] = (s==y0)*(1-wy) + (s==y0+1)*wy
+    eq0 = (src[None, None, None, None, :] == y0[..., None]).astype(feat.dtype)
+    eq1 = (src[None, None, None, None, :] == (y0 + 1)[..., None]).astype(feat.dtype)
+    m = eq0 * (1 - wy)[..., None] + eq1 * wy[..., None]  # (B,H,W,K,S)
+
+    taps = []
+    for j, dx in enumerate(x_shifts):
+        if dx == 0:
+            xs = feat
+        elif dx > 0:
+            xs = jnp.concatenate(
+                [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], dx, axis=2)], axis=2
+            )
+        else:
+            xs = jnp.concatenate(
+                [jnp.repeat(feat[:, :, :1], -dx, axis=2), feat[:, :, :dx]], axis=2
+            )
+        # contract source rows on the MXU: (B,W,H_out,S) @ (B,W,S,C)
+        taps.append(jnp.einsum("bhws,bswc->bhwc", m[:, :, :, j], xs))
+    out = jnp.stack(taps, axis=2)  # (B, H, K, W, C)
+    return out.reshape(b, h * k, w, c)
