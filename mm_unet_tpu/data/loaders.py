@@ -248,6 +248,69 @@ def _load_polyp(config, dataset_name: str):
     return make(names[:n_train]), make(names[n_train:])
 
 
+def _load_sunseg(config):
+    """SUN-SEG video frames: `TrainDataset/Frame|GT` folders for training,
+    `TestHardDataset/Unseen/Frame|GT` for validation (reference
+    `SunsegLoader.py:10-42`)."""
+    params = config.dataset["Sun_seg"]
+    root = params.data_root
+
+    def collect(base):
+        ds = ArrayDataset([], [], [])
+        f_dir = os.path.join(base, "Frame")
+        g_dir = os.path.join(base, "GT")
+        if not os.path.isdir(f_dir):
+            return ds
+        for case in sorted(os.listdir(f_dir)):
+            cf, cg = os.path.join(f_dir, case), os.path.join(g_dir, case)
+            if not os.path.isdir(cf):
+                cf, cg = f_dir, g_dir
+            for fname in sorted(os.listdir(cf)):
+                base_n = os.path.splitext(fname)[0]
+                for ext in (".png", ".jpg", ".tif"):
+                    mp = os.path.join(cg, base_n + ext)
+                    if os.path.exists(mp):
+                        ds.images.append(_imread(os.path.join(cf, fname)))
+                        ds.labels.append(_imread_mask(mp))
+                        ds.paths.append((os.path.join(cf, fname), mp))
+                        break
+            if cf is f_dir:
+                break
+        return ds
+
+    train = collect(os.path.join(root, "TrainDataset"))
+    val = collect(os.path.join(root, "TestHardDataset", "Unseen"))
+    return train, val
+
+
+def _load_polypgen(config):
+    """PolypGen: per-center folders `data_C{i}` with `images/` and
+    `masks/<name>_mask.jpg` labels (reference `PolpyGenLoder.py:12-26`)."""
+    params = config.dataset["PolypGen"]
+    root = params.data_root
+    ds_all = ArrayDataset([], [], [])
+    centers = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    for center in centers:
+        img_dir = os.path.join(root, center, "images")
+        msk_dir = os.path.join(root, center, "masks")
+        if not os.path.isdir(img_dir):
+            continue
+        for fname in sorted(os.listdir(img_dir)):
+            base = os.path.splitext(fname)[0]
+            for ext in (".jpg", ".png"):
+                mp = os.path.join(msk_dir, f"{base}_mask{ext}")
+                if os.path.exists(mp):
+                    ds_all.images.append(_imread(os.path.join(img_dir, fname)))
+                    ds_all.labels.append(_imread_mask(mp))
+                    ds_all.paths.append((os.path.join(img_dir, fname), mp))
+                    break
+    ratio = float(config.trainer.get("train_ratio", 0.8))
+    n_train = int(len(ds_all) * ratio)
+    train = ArrayDataset(ds_all.images[:n_train], ds_all.labels[:n_train], ds_all.paths[:n_train])
+    val = ArrayDataset(ds_all.images[n_train:], ds_all.labels[n_train:], ds_all.paths[n_train:])
+    return train, val
+
+
 def _load_edd(config):
     """EDD2020 5-class: builds a 5-channel mask from per-class `_<key>.tif`
     files (reference `EDDLoader.py:10-29,49-60`, EDD_KEY_MAPPING)."""
@@ -323,7 +386,12 @@ def get_dataloader(config, dataset_choose: Optional[str] = None):
             val_ds = make_synthetic(2, size, seed + 1)
     elif name in ("CVC_ClinicDB", "Kvasir_SEG", "PolypGen", "Sun_seg"):
         if root and os.path.isdir(root):
-            train_ds, val_ds = _load_polyp(config, name)
+            if name == "Sun_seg":
+                train_ds, val_ds = _load_sunseg(config)
+            elif name == "PolypGen":
+                train_ds, val_ds = _load_polypgen(config)
+            else:
+                train_ds, val_ds = _load_polyp(config, name)
         else:
             train_ds = make_synthetic(max(bs * 2, 8), size, seed)
             val_ds = make_synthetic(2, size, seed + 1)

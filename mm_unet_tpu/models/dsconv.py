@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mm_unet_tpu.models.layers import deform_sample_rows, grid_sample_bilinear_nhwc
+from mm_unet_tpu.models.layers import deform_sample, grid_sample_bilinear_nhwc
 from mm_unet_tpu.ops.geometry import accumulate_offsets_from_center_last
 
 Array = jax.Array
@@ -49,7 +49,7 @@ class DSConv(nn.Module):
         if self.morph == 0:
             y_new = rows + accumulate_offsets_from_center_last(y_off) * self.extend_scope
             # fast path: integer x taps -> column shift + row interpolation
-            deformed = deform_sample_rows(x, y_new, [j - center for j in range(k)])
+            deformed = deform_sample(x, y_new, [j - center for j in range(k)])
             out = nn.Conv(self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
                           name="dsc_conv_x")(deformed)
             return nn.GroupNorm(num_groups=self.out_channels // 4)(out)

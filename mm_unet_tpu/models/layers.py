@@ -199,16 +199,11 @@ def deform_sample_rows_matmul(feat: Array, y_coords: Array, x_shifts) -> Array:
     """
     b, h, w, c = feat.shape
     k = y_coords.shape[-1]
-    yc = jnp.clip(y_coords, 0, h - 1)
-    y0 = jnp.minimum(jnp.floor(yc), max(h - 2, 0))
-    wy = (yc - y0).astype(feat.dtype)
-    y0 = y0.astype(feat.dtype)
-
+    yc = jnp.clip(y_coords, 0, h - 1).astype(feat.dtype)
     src = jnp.arange(h, dtype=feat.dtype)  # source row ids
-    # M[b,h,w,k,s] = (s==y0)*(1-wy) + (s==y0+1)*wy
-    eq0 = (src[None, None, None, None, :] == y0[..., None]).astype(feat.dtype)
-    eq1 = (src[None, None, None, None, :] == (y0 + 1)[..., None]).astype(feat.dtype)
-    m = eq0 * (1 - wy)[..., None] + eq1 * wy[..., None]  # (B,H,W,K,S)
+    # bilinear hat: M[..., s] = max(0, 1 - |s - y|) — 2-hot with the exact
+    # bilinear weights (and the correct subgradient wrt y), built in one pass
+    m = jnp.maximum(0.0, 1.0 - jnp.abs(src[None, None, None, None, :] - yc[..., None]))
 
     taps = []
     for j, dx in enumerate(x_shifts):
@@ -226,3 +221,14 @@ def deform_sample_rows_matmul(feat: Array, y_coords: Array, x_shifts) -> Array:
         taps.append(jnp.einsum("bhws,bswc->bhwc", m[:, :, :, j], xs))
     out = jnp.stack(taps, axis=2)  # (B, H, K, W, C)
     return out.reshape(b, h * k, w, c)
+
+
+def deform_sample(feat: Array, y_coords: Array, x_shifts) -> Array:
+    """Morph-0 deformable sampling with automatic strategy selection:
+    MXU 2-hot matmul for moderate row counts (no gathers at all), gather
+    fallback for very tall feature maps where the (H_out x H_src) weight
+    tensor would dominate memory."""
+    h = feat.shape[1]
+    if h <= 256:
+        return deform_sample_rows_matmul(feat, y_coords, x_shifts)
+    return deform_sample_rows(feat, y_coords, x_shifts)

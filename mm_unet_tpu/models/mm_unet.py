@@ -32,7 +32,7 @@ import numpy as np
 from flax import linen as nn
 
 from mm_unet_tpu.models.layers import (
-    deform_sample_rows,
+    deform_sample,
     grid_sample_bilinear_nhwc,
     nchw_to_nhwc,
     nhwc_to_nchw,
@@ -106,7 +106,7 @@ class MMConv(nn.Module):
             if self.morph == 0:
                 # fast path: x taps are integer column shifts (clamped), so
                 # sampling reduces to per-tap column shift + row interpolation
-                deformed = deform_sample_rows(x, y, [j - center for j in range(k)])
+                deformed = deform_sample(x, y, [j - center for j in range(k)])
                 out = nn.Conv(
                     self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
                     name="dsc_conv_x",

@@ -29,3 +29,47 @@ def test_train_loader_seeded_shuffle():
     b = [b["image"].copy() for b in _loader(train=True)]
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_edd_and_vessel_dir_loading(tmp_path):
+    """Directory-structure loaders: DRIVE-style pairing and EDD 5-class masks."""
+    import os
+
+    from PIL import Image
+
+    from mm_unet_tpu.data.loaders import _load_edd, _load_vessel
+    from mm_unet_tpu.utils.config import ConfigDict
+
+    # DRIVE-style tree
+    root = tmp_path / "drive"
+    for phase, pat in (("train", "{b}.png"), ("val", "{b}_manual1.png")):
+        os.makedirs(root / phase / "input")
+        os.makedirs(root / phase / "label")
+        for i in range(2):
+            Image.new("RGB", (16, 16), (100, 50, 20)).save(root / phase / "input" / f"im{i}.png")
+            Image.new("L", (16, 16), 255).save(root / phase / "label" / pat.format(b=f"im{i}"))
+    cfg = ConfigDict(
+        trainer=dict(dataset_choose="DRIVE", train_ratio=0.8),
+        dataset=dict(DRIVE=dict(data_root=str(root), batch_size=2, image_size=16)),
+    )
+    tr, va = _load_vessel(cfg, "DRIVE")
+    assert len(tr) == 2 and len(va) == 2
+    assert tr.images[0].shape == (16, 16, 3)
+
+    # EDD-style tree
+    eroot = tmp_path / "edd"
+    os.makedirs(eroot / "originalImages")
+    os.makedirs(eroot / "masks")
+    Image.new("RGB", (16, 16)).save(eroot / "originalImages" / "a.png")
+    Image.new("L", (16, 16), 255).save(eroot / "masks" / "a_BE.tif")
+    Image.new("L", (16, 16), 255).save(eroot / "masks" / "a_polyp.tif")
+    ecfg = ConfigDict(
+        trainer=dict(dataset_choose="EDD_seg", train_ratio=1.0),
+        dataset=dict(EDD_seg=dict(data_root=str(eroot), batch_size=1, image_size=16)),
+    )
+    tr, va = _load_edd(ecfg)
+    assert len(tr) == 1
+    assert tr.labels[0].shape == (16, 16, 5)
+    assert tr.labels[0][..., 0].max() == 1.0  # BE present
+    assert tr.labels[0][..., 1].max() == 0.0  # cancer absent
+    assert tr.labels[0][..., 3].max() == 1.0  # polyp present
