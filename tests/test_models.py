@@ -228,3 +228,14 @@ def test_vanet_forward():
     x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
     out = _run(model, x)
     assert out.shape == (1, 1, 64, 64)
+
+
+@pytest.mark.slow
+def test_hwaunetr_forward():
+    from mm_unet_tpu.models.hwaunetr import HWAUNETR
+
+    model = HWAUNETR(in_chans=3, out_chans=1, dims=(16, 32, 48, 64),
+                     num_slices_list=(4, 4, 2, 2))
+    x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
+    out = _run(model, x)
+    assert out.shape == (1, 1, 64, 64)
