@@ -42,15 +42,27 @@ def causal_conv1d(
     dtype_in = x.dtype
     d, w = weight.shape
     xf = x.astype(jnp.float32)
-    wf = weight.astype(jnp.float32)[:, None, :]  # (O=D, I/g=1, W)
-    out = jax.lax.conv_general_dilated(
-        xf,
-        wf,
-        window_strides=(1,),
-        padding=[(w - 1, 0)],
-        feature_group_count=d,
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
+    wf = weight.astype(jnp.float32)
+
+    if w <= 8:
+        # TPU fast path: a short depthwise causal conv is w shifted
+        # multiply-adds — pure VPU elementwise, avoiding XLA's grouped-conv
+        # lowering (weak on TPU for feature_group_count == channels).
+        L = xf.shape[-1]
+        out = xf * wf[None, :, -1:]
+        for j in range(w - 1):
+            shift = w - 1 - j  # tap j multiplies x[t - shift]
+            xs = jnp.pad(xf[:, :, : L - shift], ((0, 0), (0, 0), (shift, 0)))
+            out = out + xs * wf[None, :, j : j + 1]
+    else:
+        out = jax.lax.conv_general_dilated(
+            xf,
+            wf[:, None, :],  # (O=D, I/g=1, W)
+            window_strides=(1,),
+            padding=[(w - 1, 0)],
+            feature_group_count=d,
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :, None]
     if activation in ("silu", "swish"):
