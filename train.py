@@ -87,7 +87,9 @@ def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, con
 
 
 def main():
-    config = load_config("config.yml")
+    import os
+
+    config = load_config(os.environ.get("MMU_CONFIG", "config.yml"))
     same_seeds(int(config.trainer.get("seed", 50)))
     checkpoint_name = config.finetune.checkpoint
     logger = Logger(checkpoint_name)  # noqa: F841 — tees stdout/stderr

@@ -22,7 +22,9 @@ from train import train_one_epoch, val_one_epoch
 
 
 def main():
-    config = load_config("config.yml")
+    import os
+
+    config = load_config(os.environ.get("MMU_CONFIG", "config.yml"))
     same_seeds(int(config.trainer.get("seed", 50)))
     name = config.finetune.checkpoint
     logger = Logger(f"verify_{name}")  # noqa: F841
