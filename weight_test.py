@@ -18,7 +18,9 @@ BATCH = 2
 
 ZOO = {
     "UNet": dict(num_classes=1),
-    "MM_Net": dict(num_classes=1, remat=False),
+    # MM_Net's v3 slice scan needs (S/32)^2 % 8 == 0 etc.; 352 violates it
+    # (as it would in the reference), so it profiles at 384.
+    "MM_Net": dict(num_classes=1, remat=False, _size=384),
     "UM_Net": dict(num_classes=1),
     "TransUNet": dict(img_dim=SIZE, class_num=1),
     "CFPNet": dict(classes=1),
@@ -37,14 +39,16 @@ ZOO = {
 def profile(name: str, kwargs: dict):
     import mm_unet_tpu.models.registry as reg
 
+    kwargs = dict(kwargs)
+    size = kwargs.pop("_size", SIZE)
     ctor = reg.MODEL_REGISTRY[name]
     model = ctor(**kwargs)
-    x = jnp.zeros((BATCH, 3, SIZE, SIZE), jnp.float32)
+    x = jnp.zeros((BATCH, 3, size, size), jnp.float32)
     init_fn = jax.jit(model.init) if jax.default_backend() == "tpu" else model.init
     variables = init_fn({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x) ** 2))
     lowered = fwd.lower(variables, x)
     try:
         cost = lowered.compile().cost_analysis()
@@ -52,13 +56,11 @@ def profile(name: str, kwargs: dict):
     except Exception:
         flops = float("nan")
 
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
+    _ = float(fwd(variables, x))  # compile + full sync
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
+        _ = float(fwd(variables, x))  # scalar fetch forces device sync
     fps = BATCH * n / (time.perf_counter() - t0)
     print(
         f"{name:14s} params {n_params / 1e6:8.2f}M  flops {flops / 1e9:10.2f}G  "
