@@ -56,11 +56,18 @@ def profile(name: str, kwargs: dict):
     except Exception:
         flops = float("nan")
 
-    _ = float(fwd(variables, x))  # compile + full sync
+    n = 6
+
+    @jax.jit
+    def chain(v, x):
+        s = 0.0
+        for _ in range(n):
+            s = s + jnp.sum(model.apply(v, x + s * 0e-9) ** 2)
+        return s
+
+    _ = float(chain(variables, x))  # compile + full sync
     t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        _ = float(fwd(variables, x))  # scalar fetch forces device sync
+    _ = float(chain(variables, x))  # n chained forwards, one host round-trip
     fps = BATCH * n / (time.perf_counter() - t0)
     print(
         f"{name:14s} params {n_params / 1e6:8.2f}M  flops {flops / 1e9:10.2f}G  "
