@@ -10,8 +10,6 @@ from __future__ import annotations
 import gzip
 import os
 import struct
-from typing import Optional
-
 import numpy as np
 
 

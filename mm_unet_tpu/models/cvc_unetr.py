@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mm_unet_tpu.models.layers import nchw_to_nhwc, nhwc_to_nchw
-from mm_unet_tpu.models.pvtv2 import pvt_v2_b2
+from mm_unet_tpu.models.pvtv2 import PVTv2
 from mm_unet_tpu.models.registry import register_model
 
 Array = jax.Array
@@ -150,8 +150,6 @@ class CVC_Unetr(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = nchw_to_nhwc(x)
-        from mm_unet_tpu.models.pvtv2 import PVTv2
-
         c1, c2, c3, c4 = PVTv2(embed_dims=self.dims)(x, train)
         od = self.out_dim
         _c4 = AttentionBlock(self.dims[3], od, self.kernel_size, self.mlp_ratio, False)(c4, train)

@@ -35,7 +35,6 @@ The public entry point ``selective_scan`` dispatches between them.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

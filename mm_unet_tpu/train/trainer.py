@@ -11,7 +11,7 @@ device mesh; gradients reduce over ICI via GSPMD instead of NCCL all-reduce.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
