@@ -91,6 +91,10 @@ class DataLoader:
         pad_val: bool = True,
         cutmix: bool = False,
         color_exchange: bool = False,
+        patch_size: Optional[int] = None,
+        resized_crop: bool = False,
+        color_jitter: bool = False,
+        gaussian_blur: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -102,6 +106,10 @@ class DataLoader:
         self.pad_val = pad_val
         self.cutmix = cutmix
         self.color_exchange = color_exchange
+        self.patch_size = patch_size
+        self.resized_crop = resized_crop
+        self.color_jitter = color_jitter
+        self.gaussian_blur = gaussian_blur
 
     def __len__(self):
         n = len(self.ds)
@@ -128,6 +136,16 @@ class DataLoader:
             if self.cutmix and self.rng.random() < 0.5 and len(self.ds) > 1:
                 j = int(self.rng.integers(len(self.ds)))
                 img, lbl = T.cut_mix(self.rng, img, lbl, self.ds.images[j], self.ds.labels[j])
+            if self.color_jitter and self.rng.random() < 0.5:
+                img = T.color_jitter(self.rng, img)
+            if self.gaussian_blur and self.rng.random() < 0.3:
+                img = T.gaussian_blur(self.rng, img)
+            if self.patch_size:
+                # random patch training (BASELINE: DRIVE 256^2 patches)
+                img, lbl = T.random_patch(self.rng, img, lbl, self.patch_size)
+                s = self.patch_size
+            if self.resized_crop and self.rng.random() < 0.5 and lbl.ndim == 2:
+                img, lbl = T.random_resized_crop(self.rng, img, lbl, s)
             img = T.resize_image(img, (s, s))
             lbl = self._resize_label(lbl, s)
         else:
@@ -148,7 +166,11 @@ class DataLoader:
         single-class datasets without the LAB colour-exchange augmentation."""
         from mm_unet_tpu import runtime
 
-        if runtime.get_lib() is None or self.color_exchange or self.cutmix:
+        if (
+            runtime.get_lib() is None or self.color_exchange or self.cutmix
+            or self.patch_size or self.resized_crop or self.color_jitter
+            or self.gaussian_blur
+        ):
             return None
         if any(self.ds.labels[j].ndim != 2 for j in idxs):
             return None
@@ -405,10 +427,19 @@ def get_dataloader(config, dataset_choose: Optional[str] = None):
         train_ds = make_synthetic(max(bs * 2, 8), size, seed)
         val_ds = make_synthetic(2, size, seed + 1)
 
+    if params.get("clahe", False):
+        # CLAHE fundus preprocessing applied once at load (RAM-resident data)
+        for ds in (train_ds, val_ds):
+            ds.images = [T.clahe(im) for im in ds.images]
+
     color_ex = name in ("CVC_ClinicDB", "Kvasir_SEG")
     train_loader = DataLoader(
         train_ds, bs, size, mean, std, train=True, seed=seed,
         cutmix=bool(params.get("cut_mix", False)), color_exchange=color_ex,
+        patch_size=params.get("patch_size"),
+        resized_crop=bool(params.get("resized_crop", False)),
+        color_jitter=bool(params.get("color_jitter", False)),
+        gaussian_blur=bool(params.get("gaussian_blur", False)),
     )
     val_loader = DataLoader(val_ds, 1, size, mean, std, train=False, seed=seed)
     return train_loader, val_loader

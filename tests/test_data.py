@@ -73,3 +73,36 @@ def test_edd_and_vessel_dir_loading(tmp_path):
     assert tr.labels[0][..., 0].max() == 1.0  # BE present
     assert tr.labels[0][..., 1].max() == 0.0  # cancer absent
     assert tr.labels[0][..., 3].max() == 1.0  # polyp present
+
+
+def test_clahe_improves_contrast():
+    from mm_unet_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    # low-contrast image
+    img = (0.45 + 0.05 * rng.random((64, 64, 3))).astype(np.float32)
+    out = T.clahe(img)
+    assert out.shape == img.shape
+    assert out.std() > img.std()  # contrast expanded
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_patch_training_loader():
+    from mm_unet_tpu.data.loaders import DataLoader, make_synthetic
+
+    ds = make_synthetic(4, 64, seed=0)
+    loader = DataLoader(ds, 2, 64, [0.5] * 3, [0.25] * 3, train=True, seed=1,
+                        patch_size=32)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 3, 32, 32)
+    assert batch["label"].shape == (2, 1, 32, 32)
+
+
+def test_gated_augmentations_run():
+    from mm_unet_tpu.data.loaders import DataLoader, make_synthetic
+
+    ds = make_synthetic(4, 32, seed=0)
+    loader = DataLoader(ds, 2, 32, [0.5] * 3, [0.25] * 3, train=True, seed=1,
+                        resized_crop=True, color_jitter=True, gaussian_blur=True)
+    for batch in loader:
+        assert np.isfinite(batch["image"]).all()
