@@ -26,12 +26,24 @@ def _dense_starts(img: int, roi: int, interval: int) -> list[int]:
     return [min(i * interval, img - roi) for i in range(num)]
 
 
+def _gaussian_importance(rh: int, rw: int, sigma_scale: float = 0.125) -> jnp.ndarray:
+    """MONAI BlendMode.GAUSSIAN importance map (centre-weighted window blend)."""
+    def g(n):
+        x = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+        s = n * sigma_scale
+        return jnp.exp(-0.5 * (x / s) ** 2)
+
+    m = g(rh)[:, None] * g(rw)[None, :]
+    return jnp.maximum(m, jnp.max(m) * 1e-3)[None, None]
+
+
 def sliding_window_inference(
     inputs: Array,
     roi_size: Sequence[int],
     predictor: Callable[[Array], Array],
     overlap: float = 0.5,
     sw_batch_size: int = 4,
+    mode: str = "constant",
 ) -> Array:
     """inputs: (B, C, H, W) NCHW. predictor maps (N, C, rh, rw) -> (N, K, rh, rw).
     Returns stitched (B, K, H, W) logits."""
@@ -74,9 +86,12 @@ def sliding_window_inference(
 
     canvas = jnp.zeros((b, k, hp, wp), preds.dtype)
     count = jnp.zeros((1, 1, hp, wp), preds.dtype)
-    one = jnp.ones((1, 1, rh, rw), preds.dtype)
+    if mode == "gaussian":
+        one = _gaussian_importance(rh, rw).astype(preds.dtype)
+    else:  # constant (MONAI default; reference uses this)
+        one = jnp.ones((1, 1, rh, rw), preds.dtype)
     for idx, (y, x) in enumerate(starts):
-        win = jax.lax.dynamic_slice_in_dim(preds, idx * b, b, axis=0)
+        win = jax.lax.dynamic_slice_in_dim(preds, idx * b, b, axis=0) * one
         patch = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (b, k, rh, rw)) + win
         canvas = jax.lax.dynamic_update_slice(canvas, patch, (0, 0, y, x))
         cpatch = jax.lax.dynamic_slice(count, (0, 0, y, x), (1, 1, rh, rw)) + one
@@ -91,12 +106,15 @@ class SlidingWindowInferer:
     """Callable wrapper matching the reference's
     `inference(image, model)` usage."""
 
-    def __init__(self, roi_size, overlap: float = 0.5, sw_batch_size: int = 4):
+    def __init__(self, roi_size, overlap: float = 0.5, sw_batch_size: int = 4,
+                 mode: str = "constant"):
         self.roi_size = tuple(roi_size)
         self.overlap = overlap
         self.sw_batch_size = sw_batch_size
+        self.mode = mode
 
     def __call__(self, inputs: Array, predictor: Callable[[Array], Array]) -> Array:
         return sliding_window_inference(
-            inputs, self.roi_size, predictor, self.overlap, self.sw_batch_size
+            inputs, self.roi_size, predictor, self.overlap, self.sw_batch_size,
+            self.mode,
         )

@@ -160,3 +160,43 @@ def test_mini_training_loop_and_checkpoint(tmp_path):
     a = jax.tree_util.tree_leaves(restored["params"])[0]
     b = jax.tree_util.tree_leaves(tree["params"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sliding_window_gaussian_exact_for_pointwise():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 3, 20, 20)).astype(np.float32)
+
+    def predictor(win):
+        return jnp.tanh(win[:, :1] * 2.0)
+
+    direct = predictor(jnp.asarray(x))
+    stitched = sliding_window_inference(jnp.asarray(x), (8, 8), predictor,
+                                        overlap=0.5, mode="gaussian")
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multiclass_training_step():
+    """5-class (EDD-style) labels flow through loss/step/metrics."""
+    from mm_unet_tpu.models.unet import UNet
+    from mm_unet_tpu.train.metrics import build_metrics
+    from mm_unet_tpu.train.trainer import create_train_state, make_loss_fn, train_step
+    from mm_unet_tpu.utils.config import ConfigDict
+
+    config = ConfigDict(trainer=dict(lr=1e-3, warmup=1, num_epochs=5,
+                                     weight_decay=0.05, steps_per_epoch=2,
+                                     optimizer="adamw"))
+    model = UNet(num_classes=5)
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (2, 3, 32, 32))
+    y = (jax.random.uniform(jax.random.fold_in(rng, 1), (2, 5, 32, 32)) > 0.8).astype(
+        jnp.float32)
+    state = create_train_state(model, config, rng, x)
+    loss_fn = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
+    state, scalars, preds = train_step(state, x, y, rng, loss_fn)
+    assert preds.shape == (2, 5, 32, 32)
+    mets = build_metrics()
+    for m in mets.values():
+        m(y_pred=np.asarray(preds), y=np.asarray(y))
+    dice = mets["dice_metric"].aggregate()
+    assert dice.shape == (5,)  # per-class values for the EDD breakdown
