@@ -54,7 +54,10 @@ def _hillis_steele_fwd(a: Array, b: Array) -> tuple[Array, Array]:
     """Inclusive prefix scan of (a, b) pairs along the lane axis (axis=2).
 
     Combine: (aL, bL) . (aR, bR) = (aL*aR, bL*aR + bR). After the scan,
-    a[t] = prod_{0..t} a, b[t] = h_t assuming h_{-1} = 0.
+    b[t] = h_t assuming h_{-1} = 0 (callers fold the cross-chunk carry into
+    b[0] beforehand). The returned a holds the prefix products only up to the
+    second-to-last step — the final a-update is skipped because no caller
+    consumes it (the b-combine of the last step uses the pre-update a).
     """
     T = a.shape[2]
     s = 1
@@ -62,25 +65,26 @@ def _hillis_steele_fwd(a: Array, b: Array) -> tuple[Array, Array]:
         a_prev = jnp.concatenate([jnp.ones_like(a[:, :, :s]), a[:, :, :-s]], axis=2)
         b_prev = jnp.concatenate([jnp.zeros_like(b[:, :, :s]), b[:, :, :-s]], axis=2)
         b = a * b_prev + b
-        a = a * a_prev
+        if s * 2 < T:  # final a-prefix is never used downstream
+            a = a * a_prev
         s *= 2
     return a, b
 
 
 def _hillis_steele_rev(a_sh: Array, g: Array) -> tuple[Array, Array]:
-    """Inclusive suffix scan: g[t] = sum_{r>=t} (prod_{q=t..r-1} a_sh[q]) g[r].
-
-    Also returns aa[t] = prod_{q=t..T-1} a_sh[q] (for the cross-chunk boundary
-    term). This is the adjoint recurrence g_t = a_sh[t] * g_{t+1} + ginit_t.
-    """
+    """Inclusive suffix scan: g[t] = sum_{r>=t} (prod_{q=t..r-1} a_sh[q]) g[r]
+    — the adjoint recurrence g_t = a_sh[t] * g_{t+1} + ginit_t. Callers fold
+    the cross-chunk boundary term into ginit[T-1] beforehand, so the final
+    suffix-product (aa) update is skipped (never consumed)."""
     T = a_sh.shape[2]
     aa = a_sh
     s = 1
     while s < T:
         g_next = jnp.concatenate([g[:, :, s:], jnp.zeros_like(g[:, :, :s])], axis=2)
-        aa_next = jnp.concatenate([aa[:, :, s:], jnp.ones_like(aa[:, :, :s])], axis=2)
         g = g + aa * g_next
-        aa = aa * aa_next
+        if s * 2 < T:
+            aa_next = jnp.concatenate([aa[:, :, s:], jnp.ones_like(aa[:, :, :s])], axis=2)
+            aa = aa * aa_next
         s *= 2
     return aa, g
 
@@ -109,8 +113,9 @@ def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_r
     a = jnp.exp(dt[:, None, :] * A[:, :, None])  # (D_blk, N, T)
     b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
 
-    a_sc, b_sc = _hillis_steele_fwd(a, b)
-    h = b_sc + a_sc * h_ref[...]  # carry-in broadcast over lanes
+    # fold the cross-chunk carry into b[0]: h_t = scan(a, b) with h_{-1}=0
+    b = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_ref[...], b[:, :, 1:]], axis=2)
+    _, h = _hillis_steele_fwd(a, b)
     y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
     h_ref[...] = h[:, :, -1:]
 
@@ -150,16 +155,19 @@ def _bwd_kernel(
     b = dtu[:, None, :] * Bv[None, :, :]
 
     # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
-    a_sc, b_sc = _hillis_steele_fwd(a, b)
-    h = b_sc + a_sc * h_in  # (D_blk, N, T)
-    h_prev = jnp.concatenate([h_in * jnp.ones_like(h[:, :, :1]), h[:, :, :-1]], axis=2)
+    b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
+    _, h = _hillis_steele_fwd(a, b_folded)
+    h_prev = jnp.concatenate([h_in, h[:, :, :-1]], axis=2)
 
     # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
-    # boundary comes from the previously processed (later) chunk's first decay.
+    # boundary comes from the previously processed (later) chunk's first decay;
+    # the boundary term a_sh[T-1] * g_carry folds into ginit[T-1].
     ginit = dy[:, None, :] * Cv[None, :, :]
     a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
-    aa, g = _hillis_steele_rev(a_sh, ginit)
-    g = g + aa * g_ref[...]
+    ginit = jnp.concatenate(
+        [ginit[:, :, :-1], ginit[:, :, -1:] + a_sh[:, :, -1:] * g_ref[...]], axis=2
+    )
+    _, g = _hillis_steele_rev(a_sh, ginit)
 
     # Update carries for the next (earlier) chunk.
     g_ref[...] = g[:, :, :1]
