@@ -60,10 +60,14 @@ def _hillis_steele_fwd(a: Array, b: Array) -> tuple[Array, Array]:
     consumes it (the b-combine of the last step uses the pre-update a).
     """
     T = a.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
     s = 1
     while s < T:
-        a_prev = jnp.concatenate([jnp.ones_like(a[:, :, :s]), a[:, :, :-s]], axis=2)
-        b_prev = jnp.concatenate([jnp.zeros_like(b[:, :, :s]), b[:, :, :-s]], axis=2)
+        # lane-rotate + masked identity fill: measurably faster than
+        # concatenation-based shifts on TPU (Mosaic lowers roll in-register)
+        mask = col >= s
+        a_prev = jnp.where(mask, pltpu.roll(a, s, axis=2), 1.0)
+        b_prev = jnp.where(mask, pltpu.roll(b, s, axis=2), 0.0)
         b = a * b_prev + b
         if s * 2 < T:  # final a-prefix is never used downstream
             a = a * a_prev
@@ -77,13 +81,15 @@ def _hillis_steele_rev(a_sh: Array, g: Array) -> tuple[Array, Array]:
     the cross-chunk boundary term into ginit[T-1] beforehand, so the final
     suffix-product (aa) update is skipped (never consumed)."""
     T = a_sh.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, a_sh.shape, 2)
     aa = a_sh
     s = 1
     while s < T:
-        g_next = jnp.concatenate([g[:, :, s:], jnp.zeros_like(g[:, :, :s])], axis=2)
+        mask = col < T - s
+        g_next = jnp.where(mask, pltpu.roll(g, T - s, axis=2), 0.0)  # left-shift
         g = g + aa * g_next
         if s * 2 < T:
-            aa_next = jnp.concatenate([aa[:, :, s:], jnp.ones_like(aa[:, :, :s])], axis=2)
+            aa_next = jnp.where(mask, pltpu.roll(aa, T - s, axis=2), 1.0)
             aa = aa * aa_next
         s *= 2
     return aa, g
