@@ -7,7 +7,11 @@ forward+backward. Run on the real chip: `python benchmarks/components.py`.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -16,21 +20,29 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
 
-def bench_chain(f, args, n=8):
-    """Amortised steady-state ms/call (chains n calls inside one jit to hide
-    the axon tunnel round-trip)."""
+def bench_chain(f, args, n=6):
+    """Amortised steady-state ms/call: chains n calls inside one jit with a
+    TRUE data dependency between iterations (a zero-multiply feedback gets
+    CSE'd by XLA and measures a single call), and subtracts a 1-call run to
+    remove the tunnel round-trip."""
 
-    def chain(*a):
-        s = 0.0
-        for _ in range(n):
-            s = s + jnp.sum(f(*a))
-        return s
+    def make(m):
+        def chain(x, *rest):
+            s = 0.0
+            xx = x
+            for _ in range(m):
+                o = f(xx, *rest)
+                s = s + jnp.sum(o)
+                xx = xx + jnp.reshape(s, (1,) * x.ndim) * 1e-12
+            return s
+        return chain
 
-    cf = jax.jit(chain)
-    float(cf(*args))
-    t0 = time.perf_counter()
-    float(cf(*args))
-    return (time.perf_counter() - t0) / n * 1e3
+    f1 = jax.jit(make(1))
+    fn = jax.jit(make(n))
+    float(f1(*args)); float(fn(*args))
+    t0 = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(fn(*args)); tn = time.perf_counter() - t0
+    return (tn - t1) / (n - 1) * 1e3
 
 
 def main():
