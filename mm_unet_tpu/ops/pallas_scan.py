@@ -196,6 +196,222 @@ def _bwd_kernel(
     dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
 
 
+def _fwd_kernel_fused(
+    u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref,
+    out_ref, st_ref, h_ref,
+):
+    """Fused forward: delta softplus prologue and D-skip + silu(z)-gate
+    epilogue run inside the kernel (profiling showed the XLA-side prep and
+    finalize elementwise fusions around each scan cost ~24 ms/step)."""
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    st_ref[0] = h_ref[...]
+
+    u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
+    raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]  # (D_blk, T)
+    dt = jax.nn.softplus(raw)
+    Bv = B_ref[0, 0].astype(jnp.float32)
+    Cv = C_ref[0, 0].astype(jnp.float32)
+    A = A_ref[...].astype(jnp.float32)
+
+    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    b = (dt * u)[:, None, :] * Bv[None, :, :]
+    b = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_ref[...], b[:, :, 1:]], axis=2)
+    _, h = _hillis_steele_fwd(a, b)
+    y = jnp.sum(h * Cv[None, :, :], axis=1) + Dv_ref[...] * u
+    z = z_ref[0].astype(jnp.float32)
+    out_ref[0] = (y * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
+    h_ref[...] = h[:, :, -1:]
+
+
+def _bwd_kernel_fused(
+    u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref, st_ref, dout_ref,
+    du_ref, ddtr_ref, dA_ref, dB_ref, dC_ref, dD_ref, dz_ref,
+    g_ref, af_ref,
+):
+    """Fused backward: recomputes the gated epilogue, emits dz and dD and
+    chains the softplus gradient into ddt_raw."""
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        af_ref[...] = jnp.zeros_like(af_ref)
+
+    u = u_ref[0].astype(jnp.float32)
+    raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]
+    sig_raw = jax.nn.sigmoid(raw)
+    dt = jax.nn.softplus(raw)
+    Bv = B_ref[0, 0].astype(jnp.float32)
+    Cv = C_ref[0, 0].astype(jnp.float32)
+    A = A_ref[...].astype(jnp.float32)
+    Dv = Dv_ref[...]
+    dout = dout_ref[0].astype(jnp.float32)
+    h_in = st_ref[0]
+
+    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    dtu = dt * u
+    b = dtu[:, None, :] * Bv[None, :, :]
+    b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
+    _, h = _hillis_steele_fwd(a, b_folded)
+    h_prev = jnp.concatenate([h_in, h[:, :, :-1]], axis=2)
+
+    # gate epilogue gradients
+    z = z_ref[0].astype(jnp.float32)
+    sz = jax.nn.sigmoid(z)
+    silu = z * sz
+    y_pre = jnp.sum(h * Cv[None, :, :], axis=1) + Dv * u
+    dy = dout * silu
+    dz_ref[0] = (dout * y_pre * (sz + silu * (1.0 - sz))).astype(dz_ref.dtype)
+
+    ginit = dy[:, None, :] * Cv[None, :, :]
+    a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
+    ginit = jnp.concatenate(
+        [ginit[:, :, :-1], ginit[:, :, -1:] + a_sh[:, :, -1:] * g_ref[...]], axis=2
+    )
+    _, g = _hillis_steele_rev(a_sh, ginit)
+
+    g_ref[...] = g[:, :, :1]
+    af_ref[...] = a[:, :, :1]
+
+    gB = jnp.sum(g * Bv[None, :, :], axis=1)
+    gah = g * a * h_prev
+
+    du_ref[0] = (dt * gB + dy * Dv).astype(du_ref.dtype)
+    ddt_eff = jnp.sum(gah * A[:, :, None], axis=1) + u * gB
+    ddtr_ref[0] = (ddt_eff * sig_raw).astype(ddtr_ref.dtype)
+    dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
+    dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
+
+    @pl.when(li == 0)
+    def _():
+        dA_ref[0] = jnp.zeros_like(dA_ref[0])
+        dD_ref[0] = jnp.zeros_like(dD_ref[0])
+
+    dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
+    dD_ref[0] += jnp.sum(dy * u, axis=1, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool):
+    """Custom-VJP core for the fully-fused Mamba configuration (variable
+    grouped B/C, delta bias + softplus, D-skip, silu(z) gate):
+
+    core(u, dt_raw, A, Bv, Cv, bias (Dp,1), Dv (Dp,1), z) -> out (B,Dp,Lp) f32
+    """
+
+    def _fwd_call(u, dtr, A, Bv, Cv, bias, Dv, z):
+        Bsz, Dp, Lp = u.shape
+        N = A.shape[1]
+        nS, nL = Dp // D_blk, Lp // T
+        sg = nS // G
+        grid = (Bsz, nS, nL)
+        out, states = pl.pallas_call(
+            _fwd_kernel_fused,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, l)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, l)),
+                pl.BlockSpec((D_blk, 1), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((D_blk, 1), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b * nL + l, s, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz * nL, Dp, N, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((D_blk, N, 1), jnp.float32)],
+            interpret=interpret,
+        )(u, dtr, A, Bv, Cv, bias, Dv, z)
+        return out, states
+
+    def _bwd_call(u, dtr, A, Bv, Cv, bias, Dv, z, states, dout):
+        Bsz, Dp, Lp = u.shape
+        N = A.shape[1]
+        nS, nL = Dp // D_blk, Lp // T
+        sg = nS // G
+        grid = (Bsz, nS, nL)
+        rev = lambda l: nL - 1 - l  # noqa: E731
+        du, ddtr, dA, dB, dC, dD, dz = pl.pallas_call(
+            _bwd_kernel_fused,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((D_blk, N), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, rev(l))),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s // sg, 0, rev(l))),
+                pl.BlockSpec((D_blk, 1), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((D_blk, 1), lambda b, s, l: (s, 0)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b * nL + rev(l), s, 0, 0)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+                pl.BlockSpec((1, D_blk, N, 1), lambda b, s, l: (b, s, 0, 0)),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s, 0, rev(l))),
+                pl.BlockSpec((1, 1, N, T), lambda b, s, l: (b, s, 0, rev(l))),
+                pl.BlockSpec((1, D_blk, 1), lambda b, s, l: (b, s, 0)),
+                pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, nS, N, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, nS, N, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, Dp, Lp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D_blk, N, 1), jnp.float32),
+                pltpu.VMEM((D_blk, N, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(u, dtr, A, Bv, Cv, bias, Dv, z, states, dout)
+        return du, ddtr, dA, dB, dC, dD, dz
+
+    @jax.custom_vjp
+    def core(u, dtr, A, Bv, Cv, bias, Dv, z):
+        out, _ = _fwd_call(u, dtr, A, Bv, Cv, bias, Dv, z)
+        return out
+
+    def core_fwd(u, dtr, A, Bv, Cv, bias, Dv, z):
+        out, states = _fwd_call(u, dtr, A, Bv, Cv, bias, Dv, z)
+        return out, (u, dtr, A, Bv, Cv, bias, Dv, z, states)
+
+    def core_bwd(res, dout):
+        u, dtr, A, Bv, Cv, bias, Dv, z, states = res
+        du, ddtr, dA, dB, dC, dD, dz = _bwd_call(
+            u, dtr, A, Bv, Cv, bias, Dv, z, states, dout.astype(jnp.float32)
+        )
+        Bsz, nS, N, Lp = dB.shape
+        dA = jnp.sum(dA[..., 0], axis=0)
+        dB = jnp.sum(dB.reshape(Bsz, G, nS // G, N, Lp), axis=2)
+        dC = jnp.sum(dC.reshape(Bsz, G, nS // G, N, Lp), axis=2)
+        dbias = jnp.sum(ddtr, axis=(0, 2))[:, None]  # (Dp, 1)
+        dDv = jnp.sum(dD, axis=0)  # (Dp, 1)
+        return (du.astype(u.dtype), ddtr.astype(dtr.dtype), dA,
+                dB.astype(Bv.dtype), dC.astype(Cv.dtype), dbias, dDv,
+                dz.astype(z.dtype))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
 @functools.lru_cache(maxsize=None)
 def _scan_core(T: int, D_blk: int, G: int, interpret: bool):
     """Build the custom-VJP core scan for a given (chunk, dim-block) config.
@@ -346,19 +562,52 @@ def selective_scan_pallas(
     G = B.shape[1]
     dg = dim // G  # channels per group
     N = A.shape[1]
-    dt_eff = _prep_delta(delta, delta_bias, delta_softplus)
 
     D_blk = min(32, _round_up(dg, 8))
     T = max(128, _round_up(chunk, 128))  # lane-dim blocks must be 128-aligned
     dgp, Lp = _round_up(dg, D_blk), _round_up(L, T)
     pad_d, pad_l = dgp - dg, Lp - L
-    if pad_d or pad_l:
-        # pad the channel dim per group (channels are G contiguous groups)
-        def pad_grouped(x):
-            x = x.reshape(batch, G, dg, x.shape[-1])
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
-            return x.reshape(batch, G * dgp, -1)
 
+    def pad_grouped(x):
+        # pad the channel dim per group (channels are G contiguous groups)
+        x = x.reshape(batch, G, dg, x.shape[-1])
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
+        return x.reshape(batch, G * dgp, -1)
+
+    def pad_vec(v):
+        v = v.astype(jnp.float32).reshape(G, dg)
+        return jnp.pad(v, ((0, 0), (0, pad_d))).reshape(G * dgp, 1)
+
+    fused = (
+        z is not None and D is not None and delta_bias is not None
+        and delta_softplus and not return_last_state
+    )
+    if fused:
+        # fully-fused Mamba path: softplus prologue + D-skip/silu(z) epilogue
+        # run inside the kernel (saves the surrounding XLA elementwise passes
+        # and their HBM round trips)
+        if pad_d or pad_l:
+            u_p, dtr_p, z_p = pad_grouped(u), pad_grouped(delta), pad_grouped(z)
+            A_p = jnp.pad(
+                A.astype(jnp.float32).reshape(G, dg, N), ((0, 0), (0, pad_d), (0, 0))
+            ).reshape(G * dgp, N)
+            B_p = jnp.pad(B, ((0, 0), (0, 0), (0, 0), (0, pad_l)))
+            C_p = jnp.pad(C, ((0, 0), (0, 0), (0, 0), (0, pad_l)))
+        else:
+            u_p, dtr_p, z_p = u, delta, z
+            A_p, B_p, C_p = A.astype(jnp.float32), B, C
+        bias_p = pad_vec(delta_bias)
+        Dv_p = pad_vec(D)
+        core = _scan_core_fused(T, D_blk, G, bool(interpret))
+        out = core(u_p, dtr_p, A_p, B_p, C_p, bias_p, Dv_p, z_p)
+        if pad_d:
+            out = out.reshape(batch, G, dgp, Lp)[:, :, :dg, :L].reshape(batch, dim, L)
+        else:
+            out = out[:, :, :L]
+        return out.astype(dtype_in)
+
+    dt_eff = _prep_delta(delta, delta_bias, delta_softplus)
+    if pad_d or pad_l:
         u_p, dt_p = pad_grouped(u), pad_grouped(dt_eff)
         A_p = jnp.pad(
             A.astype(jnp.float32).reshape(G, dg, N), ((0, 0), (0, pad_d), (0, 0))
