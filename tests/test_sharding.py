@@ -79,3 +79,15 @@ def test_shard_batch_layout():
     ragged = jnp.zeros((3, 2))
     sr = shard_batch({"x": ragged}, mesh)["x"]  # non-divisible -> replicated
     assert sr.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_comm_helpers_single_process():
+    from mm_unet_tpu.parallel import comm
+
+    assert comm.get_world_size() == 1
+    assert comm.get_rank() == 0
+    assert comm.is_main_process()
+    comm.synchronize()  # no-op
+    assert comm.all_gather({"a": 1}) == [{"a": 1}]
+    out = comm.reduce_dict({"x": 2.0, "y": 4.0})
+    assert out == {"x": 2.0, "y": 4.0}
