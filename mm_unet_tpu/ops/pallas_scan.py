@@ -565,6 +565,11 @@ def selective_scan_pallas(
 
     D_blk = min(32, _round_up(dg, 8))
     T = max(128, _round_up(chunk, 128))  # lane-dim blocks must be 128-aligned
+    if D_blk <= 8:
+        # small-channel scans (MMConv: d_inner ~= 6 per direction) are
+        # grid-overhead-bound — use longer chunks so each grid step does
+        # enough work to amortise the per-step cost
+        T = max(T, 1024)
     dgp, Lp = _round_up(dg, D_blk), _round_up(L, T)
     pad_d, pad_l = dgp - dg, Lp - L
 
