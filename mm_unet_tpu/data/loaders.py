@@ -95,6 +95,7 @@ class DataLoader:
         resized_crop: bool = False,
         color_jitter: bool = False,
         gaussian_blur: bool = False,
+        prefetch_depth: int = 2,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -110,6 +111,7 @@ class DataLoader:
         self.resized_crop = resized_crop
         self.color_jitter = color_jitter
         self.gaussian_blur = gaussian_blur
+        self.prefetch_depth = prefetch_depth
 
     def __len__(self):
         n = len(self.ds)
@@ -187,7 +189,7 @@ class DataLoader:
         )
         return img, lbl
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self) -> Iterator[dict]:
         n = len(self.ds)
         order = self.rng.permutation(n) if self.train else np.arange(n)
         bs = self.batch_size
@@ -213,6 +215,39 @@ class DataLoader:
                 "label": lbls_arr,
                 "paths": [self.ds.paths[j] if self.ds.paths else ("", "") for j in idxs],
             }
+
+    def __iter__(self) -> Iterator[dict]:
+        """Batches are prepared `prefetch_depth` ahead on a background thread
+        so host-side augmentation overlaps the device step — the TPU-native
+        analogue of the reference's `num_workers: 4` torch DataLoader and
+        persistent-worker `MultiEpochsDataLoader`
+        (`/root/reference/src/VesselLoader.py:150-195`, `config.yml:25`)."""
+        if self.prefetch_depth <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self._batches():
+                    q.put(item)
+                q.put(sentinel)
+            except BaseException as exc:  # surfaced on the consumer thread
+                q.put(exc)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 def _load_vessel(config, dataset_name: str):

@@ -32,6 +32,14 @@ class Metric:
     def update(self, y_pred, y):
         raise NotImplementedError
 
+    def update_stats(self, stats: dict):
+        """Accumulate from device-computed sufficient statistics
+        (`mm_unet_tpu.train.trainer.seg_stats`): {inter, psum, tsum: (B, C)
+        arrays; npix: int}. Arrays are kept lazy (device handles) and only
+        materialized at `aggregate()` — one host sync per epoch instead of
+        one per step."""
+        raise NotImplementedError
+
     def aggregate(self):
         raise NotImplementedError
 
@@ -49,6 +57,7 @@ class DiceMetric(Metric):
 
     def reset(self):
         self.vals: list[np.ndarray] = []
+        self._pending: list[tuple] = []
 
     def update(self, y_pred, y):
         p = _np(y_pred).astype(np.float64)
@@ -62,7 +71,21 @@ class DiceMetric(Metric):
             dice = np.where(denom > 0, 2 * inter / denom, np.nan)
         self.vals.append(dice)
 
+    def update_stats(self, stats: dict):
+        self._pending.append((stats["inter"], stats["psum"], stats["tsum"]))
+
+    def _drain(self):
+        for inter, psum, tsum in self._pending:
+            inter = _np(inter).astype(np.float64)
+            denom = _np(psum).astype(np.float64) + _np(tsum).astype(np.float64)
+            if not self.include_background and inter.shape[1] > 1:
+                inter, denom = inter[:, 1:], denom[:, 1:]
+            with np.errstate(invalid="ignore"):
+                self.vals.append(np.where(denom > 0, 2 * inter / denom, np.nan))
+        self._pending = []
+
     def aggregate(self) -> np.ndarray:
+        self._drain()
         vals = np.concatenate(self.vals, axis=0)  # (N, C)
         with np.errstate(invalid="ignore"):
             return np.nanmean(vals, axis=0)  # (C,)
@@ -75,6 +98,7 @@ class MeanIoU(Metric):
 
     def reset(self):
         self.vals: list[np.ndarray] = []
+        self._pending: list[tuple] = []
 
     def update(self, y_pred, y):
         p = _np(y_pred).astype(np.float64)
@@ -88,7 +112,21 @@ class MeanIoU(Metric):
             iou = np.where(union > 0, inter / union, np.nan)
         self.vals.append(iou.mean(axis=1))  # mean_channel
 
+    def update_stats(self, stats: dict):
+        self._pending.append((stats["inter"], stats["psum"], stats["tsum"]))
+
+    def _drain(self):
+        for inter, psum, tsum in self._pending:
+            inter = _np(inter).astype(np.float64)
+            union = _np(psum).astype(np.float64) + _np(tsum).astype(np.float64) - inter
+            if not self.include_background and inter.shape[1] > 1:
+                inter, union = inter[:, 1:], union[:, 1:]
+            with np.errstate(invalid="ignore"):
+                self.vals.append(np.where(union > 0, inter / union, np.nan).mean(axis=1))
+        self._pending = []
+
     def aggregate(self) -> np.ndarray:
+        self._drain()
         with np.errstate(invalid="ignore"):
             return np.asarray([np.nanmean(np.concatenate(self.vals))])
 
@@ -108,6 +146,7 @@ class ConfusionMatrixMetric(Metric):
 
     def reset(self):
         self.tp = self.fp = self.tn = self.fn = 0.0
+        self._pending: list[tuple] = []
 
     def update(self, y_pred, y):
         p = _np(y_pred).astype(np.float64)
@@ -120,7 +159,26 @@ class ConfusionMatrixMetric(Metric):
         self.fn = self.fn + ((1 - p) * t).sum(dims)
         self.tn = self.tn + ((1 - p) * (1 - t)).sum(dims)
 
+    def update_stats(self, stats: dict):
+        self._pending.append(
+            (stats["inter"], stats["psum"], stats["tsum"], stats["npix"])
+        )
+
+    def _drain(self):
+        for inter, psum, tsum, npix in self._pending:
+            inter = _np(inter).astype(np.float64)
+            psum = _np(psum).astype(np.float64)
+            tsum = _np(tsum).astype(np.float64)
+            if not self.include_background and inter.shape[1] > 1:
+                inter, psum, tsum = inter[:, 1:], psum[:, 1:], tsum[:, 1:]
+            self.tp = self.tp + inter.sum(0)
+            self.fp = self.fp + (psum - inter).sum(0)
+            self.fn = self.fn + (tsum - inter).sum(0)
+            self.tn = self.tn + (npix - psum - tsum + inter).sum(0)
+        self._pending = []
+
     def aggregate(self) -> np.ndarray:
+        self._drain()
         tp, fp, tn, fn = self.tp, self.fp, self.tn, self.fn
         eps = 1e-12
         name = self.metric_name

@@ -86,9 +86,32 @@ def make_loss_fn(loss_functions: dict[str, dict], loss_weights: dict[str, float]
     return compute
 
 
+def seg_stats(logits, labels) -> dict:
+    """Sufficient statistics for the 7-metric dict, computed on device.
+
+    post_trans = sigmoid -> threshold 0.5 (reference `train.py:193-195`), then
+    per-(sample, channel) intersection / prediction-sum / target-sum. Every
+    epoch metric (Dice, mIoU, f1, precision, recall, MCC, accuracy) is a
+    function of these plus the static pixel count — so the host fetches a few
+    (B, C) scalars per step instead of the full-resolution prediction maps
+    (which serialized host/device every step in round 1)."""
+    preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    t = labels.astype(jnp.float32)
+    dims = tuple(range(2, preds.ndim))
+    npix = 1
+    for d in dims:
+        npix *= preds.shape[d]
+    return {
+        "inter": jnp.sum(preds * t, dims),  # (B, C)
+        "psum": jnp.sum(preds, dims),
+        "tsum": jnp.sum(t, dims),
+        "npix": npix,  # static python int
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("loss_fn", "has_batch_stats"), donate_argnums=(0,))
 def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batch_stats=True):
-    """One fused optimizer step. Returns (state, scalars, binarized preds)."""
+    """One fused optimizer step. Returns (state, scalars, metric stats)."""
 
     def loss_wrapped(params):
         variables = {"params": params}
@@ -115,9 +138,8 @@ def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batc
         opt_state=new_opt,
         batch_stats=new_vars.get("batch_stats", state.batch_stats),
     )
-    preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
     scalars = {"total_loss": total, **losses}
-    return state, scalars, preds
+    return state, scalars, seg_stats(logits, labels)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "has_batch_stats"))

@@ -193,10 +193,36 @@ def test_multiclass_training_step():
         jnp.float32)
     state = create_train_state(model, config, rng, x)
     loss_fn = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
-    state, scalars, preds = train_step(state, x, y, rng, loss_fn)
-    assert preds.shape == (2, 5, 32, 32)
+    state, scalars, stats = train_step(state, x, y, rng, loss_fn)
+    assert stats["inter"].shape == (2, 5)
+    assert stats["npix"] == 32 * 32
     mets = build_metrics()
     for m in mets.values():
-        m(y_pred=np.asarray(preds), y=np.asarray(y))
+        m.update_stats(stats)
     dice = mets["dice_metric"].aggregate()
     assert dice.shape == (5,)  # per-class values for the EDD breakdown
+
+
+def test_stats_metrics_match_dense_updates():
+    """update_stats (device sufficient statistics) agrees with update
+    (full-resolution masks) across the whole metric dict."""
+    from mm_unet_tpu.train.metrics import build_metrics
+    from mm_unet_tpu.train.trainer import seg_stats
+
+    rng = np.random.default_rng(7)
+    dense = build_metrics()
+    from_stats = build_metrics()
+    for _ in range(3):
+        logits = jnp.asarray(rng.standard_normal((2, 3, 16, 16)), jnp.float32)
+        y = jnp.asarray((rng.random((2, 3, 16, 16)) > 0.7), jnp.float32)
+        preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        stats = seg_stats(logits, y)
+        for m in dense.values():
+            m(y_pred=np.asarray(preds), y=np.asarray(y))
+        for m in from_stats.values():
+            m.update_stats(stats)
+    for name in dense:
+        np.testing.assert_allclose(
+            dense[name].aggregate(), from_stats[name].aggregate(),
+            rtol=1e-6, atol=1e-9, err_msg=name,
+        )

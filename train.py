@@ -26,30 +26,49 @@ from mm_unet_tpu.train.trainer import (
     create_train_state, make_loss_fn, make_predictor, train_step,
 )
 from mm_unet_tpu.utils import Logger, load_config, same_seeds
+from mm_unet_tpu.utils.tracker import ScalarTracker
 
 
-def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config):
+def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rng,
+                    config, tracker=None):
     t0 = time.time()
     n_img = 0
+    num_epochs = config.trainer.num_epochs
+    n_batches = len(train_loader)
+    pending = None  # (batch_idx, step, scalars) of the previously dispatched step
+
+    def _flush(entry):
+        """Sync + log the PREVIOUS step's loss while the current one runs on
+        device (1-deep pipeline: the host never stalls the accelerator)."""
+        i, s, scalars = entry
+        loss_val = float(scalars["total_loss"])
+        print(
+            f"Epoch [{epoch + 1}/{num_epochs}] "
+            f"Training [{i + 1}/{n_batches}] Loss: {loss_val:1.5f}",
+            flush=True,
+        )
+        if tracker is not None:
+            tracker.log({f"Train/{k}": v for k, v in scalars.items()}, step=s)
+
     for i, batch in enumerate(train_loader):
         sharded = shard_batch(
             {"image": batch["image"], "label": batch["label"]}, mesh
         )
         rng, sub = jax.random.split(rng)
-        state, scalars, preds = train_step(
+        state, scalars, stats = train_step(
             state, sharded["image"], sharded["label"], sub, loss_fn,
             has_batch_stats=bool(jax.tree_util.tree_leaves(state.batch_stats)),
         )
+        # metric accumulation from tiny device-side stats; no host sync here
         for name in metrics:
-            metrics[name](y_pred=np.asarray(preds), y=batch["label"])
+            metrics[name].update_stats(stats)
         n_img += batch["image"].shape[0]
-        loss_val = float(scalars["total_loss"])
-        print(
-            f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] "
-            f"Training [{i + 1}/{len(train_loader)}] Loss: {loss_val:1.5f}",
-            flush=True,
-        )
+        if pending is not None:
+            _flush(pending)
+        pending = (i, step, scalars)
         step += 1
+    if pending is not None:
+        _flush(pending)
     dt = time.time() - t0
     metric = {}
     for name in metrics:
@@ -57,10 +76,13 @@ def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rn
         metrics[name].reset()
     metric["Train/images_per_sec"] = n_img / max(dt, 1e-9)
     print(f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] Training metric {metric}")
+    if tracker is not None:
+        tracker.log(metric, step=step)
     return state, step, rng
 
 
-def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, config):
+def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, config,
+                  tracker=None):
     predictor = make_predictor(state)
     for i, batch in enumerate(val_loader):
         logits = inferer(batch["image"], predictor)
@@ -68,11 +90,14 @@ def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, con
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(np.float32)
         for name in metrics:
             metrics[name](y_pred=np.asarray(preds), y=batch["label"])
+        loss_val = float(total)
         print(
             f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] "
-            f"Validation [{i + 1}/{len(val_loader)}] Loss: {float(total):1.5f}",
+            f"Validation [{i + 1}/{len(val_loader)}] Loss: {loss_val:1.5f}",
             flush=True,
         )
+        if tracker is not None:
+            tracker.log({"Val/total_loss": loss_val}, step=step)
         step += 1
     metric = {}
     for name in metrics:
@@ -83,6 +108,8 @@ def val_one_epoch(state, loss_fn, inferer, val_loader, metrics, epoch, step, con
             for cls, v in zip(("BE", "cancer", "HGD", "polyp", "suspicious"), np.ravel(agg)):
                 metric[f"Val/{cls} {name}"] = float(v)
     print(f"Epoch [{epoch + 1}/{config.trainer.num_epochs}] Validation metric {metric}")
+    if tracker is not None:
+        tracker.log(metric, step=step)
     return metric["Val/mean f1"], metric, step
 
 
@@ -93,6 +120,7 @@ def main():
     same_seeds(int(config.trainer.get("seed", 50)))
     checkpoint_name = config.finetune.checkpoint
     logger = Logger(checkpoint_name)  # noqa: F841 — tees stdout/stderr
+    tracker = ScalarTracker(logger.dir)  # scalars.jsonl (reference accelerator.log)
 
     mesh = make_mesh()
     print(f"devices: {jax.devices()} mesh: {mesh}")
@@ -133,10 +161,12 @@ def main():
     val_step = 0
     for epoch in range(starting_epoch, int(config.trainer.num_epochs)):
         state, step, rng = train_one_epoch(
-            state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config
+            state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config,
+            tracker=tracker,
         )
         mean_f1, metric, val_step = val_one_epoch(
-            state, loss_fn, inferer, val_loader, val_metrics, epoch, val_step, config
+            state, loss_fn, inferer, val_loader, val_metrics, epoch, val_step, config,
+            tracker=tracker,
         )
         tree = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state}

@@ -18,6 +18,7 @@ from mm_unet_tpu.train.inferers import SlidingWindowInferer
 from mm_unet_tpu.train.metrics import HausdorffDistanceMetric, build_metrics
 from mm_unet_tpu.train.trainer import create_train_state, make_loss_fn, make_predictor
 from mm_unet_tpu.utils import Logger, load_config, same_seeds
+from mm_unet_tpu.utils.tracker import ScalarTracker
 from train import train_one_epoch, val_one_epoch
 
 
@@ -28,6 +29,7 @@ def main():
     same_seeds(int(config.trainer.get("seed", 50)))
     name = config.finetune.checkpoint
     logger = Logger(f"verify_{name}")  # noqa: F841
+    tracker = ScalarTracker(logger.dir)  # scalars.jsonl (reference verify.py:122)
 
     mesh = make_mesh()
     model = give_model(config)
@@ -64,11 +66,12 @@ def main():
     step = 0
     for epoch in range(warmup):
         state, step, rng = train_one_epoch(
-            state, loss_fn, train_loader, train_metrics, mesh, epoch, step, rng, config
+            state, loss_fn, train_loader, train_metrics, mesh, epoch, step, rng,
+            config, tracker=tracker,
         )
 
     best_acc, metric, _ = val_one_epoch(
-        state, loss_fn, inferer, val_loader, metrics, 0, 0, config
+        state, loss_fn, inferer, val_loader, metrics, 0, 0, config, tracker=tracker
     )
     dice = metric.get("Val/mean dice_metric", float("nan"))
     print(f"verify: best dice {dice:.4f}; metrics: {metric}")
