@@ -35,11 +35,11 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, config, rng, sample_input) -> TrainState:
-    # On TPU (high per-op dispatch latency) compile the init as one program;
-    # on CPU run it eagerly — XLA-CPU compile of the full init graph is far
-    # slower than op-by-op execution for these models.
-    init_fn = jax.jit(model.init) if jax.default_backend() == "tpu" else model.init
-    variables = init_fn(
+    # Compile the init as one program on every backend: with the persistent
+    # compilation cache enabled (conftest / bench / graft entry), repeat runs
+    # load the executable instead of recompiling, which beats eager op-by-op
+    # dispatch even on CPU.
+    variables = jax.jit(model.init)(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, sample_input
     )
     params = variables["params"]

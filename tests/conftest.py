@@ -9,6 +9,10 @@ and multi-device sharding tests use a virtual 8-device host platform
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Silence XLA:CPU AOT-cache feature-string mismatch spam (benign: the cache
+# records XLA pseudo-features like prefer-no-scatter that never appear in the
+# host's cpuinfo; the artifact loads and runs).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,8 +20,37 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS from the environment; force CPU
 # through the config API so tests are deterministic and tunnel-free.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: repeat CI runs skip recompiles of the big models.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_comp_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full-size model forwards, "
+        "mini training loops); the default suite is the fast CI gate",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow test: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -10,9 +10,9 @@ from mm_unet_tpu.models.lm import MambaLMHeadModel, generate
 def test_decode_step_matches_parallel_forward():
     model = MambaLMHeadModel(d_model=16, n_layer=2, vocab_size=50, d_state=8)
     ids = jax.random.randint(jax.random.key(0), (2, 8), 0, 50)
-    variables = model.init(jax.random.key(1), ids)
+    variables = jax.jit(model.init)(jax.random.key(1), ids)
 
-    full = model.apply(variables, ids)  # (B, L, V) via parallel scan
+    full = jax.jit(model.apply)(variables, ids)  # (B, L, V) via parallel scan
 
     # decode loop: generate 0 new tokens -> logits after consuming the prompt
     out = generate(model, variables, ids, max_new_tokens=1)
@@ -47,7 +47,7 @@ def test_decode_step_matches_parallel_forward():
 def test_generate_greedy_deterministic():
     model = MambaLMHeadModel(d_model=16, n_layer=1, vocab_size=30, d_state=8)
     ids = jax.random.randint(jax.random.key(0), (1, 4), 0, 30)
-    variables = model.init(jax.random.key(1), ids)
+    variables = jax.jit(model.init)(jax.random.key(1), ids)
     a = generate(model, variables, ids, max_new_tokens=5)
     b = generate(model, variables, ids, max_new_tokens=5)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

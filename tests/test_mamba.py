@@ -55,41 +55,41 @@ def _golden_v3(params, x, d_model, nslices, d_state=16):
 def test_mamba_v3_matches_golden(d_model, nslices, L):
     m = Mamba(d_model=d_model, nslices=nslices, bimamba_type="v3", scan_impl="pallas")
     x = jax.random.normal(jax.random.key(0), (2, L, d_model))
-    params = m.init(jax.random.key(1), x)["params"]
-    out, o1, o2, o3 = m.apply({"params": params}, x)
+    params = jax.jit(m.init)(jax.random.key(1), x)["params"]
+    out, o1, o2, o3 = jax.jit(m.apply)({"params": params}, x)
     assert out.shape == (2, L, d_model)
     assert o1.shape == o2.shape == o3.shape == (2, L, 2 * d_model)[0:1] + (2 * d_model, L)
 
-    golden = _golden_v3(params, x, d_model, nslices)
+    golden = jax.jit(_golden_v3, static_argnums=(2, 3))(params, x, d_model, nslices)
     np.testing.assert_allclose(np.asarray(out), np.asarray(golden), rtol=6e-4, atol=2e-3)
 
 
 def test_mamba_v1_treated_as_v3():
     m = Mamba(d_model=3, nslices=4, bimamba_type="v1", scan_impl="assoc")
     x = jax.random.normal(jax.random.key(0), (1, 16, 3))
-    vs = m.init(jax.random.key(1), x)
-    out = m.apply(vs, x)
+    vs = jax.jit(m.init)(jax.random.key(1), x)
+    out = jax.jit(m.apply)(vs, x)
     assert isinstance(out, tuple) and len(out) == 4
 
 
 def test_mamba_v2_single_output():
     m = Mamba(d_model=8, bimamba_type="v2", scan_impl="assoc")
     x = jax.random.normal(jax.random.key(0), (1, 24, 8))
-    vs = m.init(jax.random.key(1), x)
-    out = m.apply(vs, x)
+    vs = jax.jit(m.init)(jax.random.key(1), x)
+    out = jax.jit(m.apply)(vs, x)
     assert out.shape == (1, 24, 8)
 
 
 def test_mamba_gradients_flow():
     m = Mamba(d_model=3, nslices=4, bimamba_type="v3", scan_impl="pallas")
     x = jax.random.normal(jax.random.key(0), (1, 32, 3))
-    vs = m.init(jax.random.key(1), x)
+    vs = jax.jit(m.init)(jax.random.key(1), x)
 
     def loss(params):
         out, *_ = m.apply({"params": params}, x)
         return jnp.sum(out**2)
 
-    g = jax.grad(loss)(vs["params"])
+    g = jax.jit(jax.grad(loss))(vs["params"])
     flat, _ = jax.tree_util.tree_flatten(g)
     assert all(np.all(np.isfinite(np.asarray(t))) for t in flat)
     # every weight set receives gradient
@@ -102,7 +102,7 @@ def test_mamba_gradients_flow():
 def test_mamba_dt_bias_init_range():
     m = Mamba(d_model=8, bimamba_type="v3", nslices=2)
     x = jax.random.normal(jax.random.key(0), (1, 16, 8))
-    params = m.init(jax.random.key(1), x)["params"]
+    params = jax.jit(m.init)(jax.random.key(1), x)["params"]
     dt = jax.nn.softplus(params["dt_proj_bias"])
     assert float(dt.min()) >= 1e-4 * 0.99
     assert float(dt.max()) <= 0.1 * 1.01

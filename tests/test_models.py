@@ -11,13 +11,19 @@ from mm_unet_tpu.models.unet import UNet
 
 
 def _run(model, x, train=False, **kw):
-    vs = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, **kw)
+    # jit init/apply: one XLA compile (persisted in the compilation cache —
+    # repeat CI runs hit it) instead of thousands of eager per-op compiles.
+    vs = jax.jit(lambda r, x: model.init(r, x, **kw))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x
+    )
     if train:
-        out, _ = model.apply(
-            vs, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)}
-        )
+        out, _ = jax.jit(
+            lambda vs, x, r: model.apply(
+                vs, x, train=True, mutable=["batch_stats"], rngs={"dropout": r}
+            )
+        )(vs, x, jax.random.key(2))
         return out
-    return model.apply(vs, x, **kw)
+    return jax.jit(lambda vs, x: model.apply(vs, x, **kw))(vs, x)
 
 
 def test_mmconv_shapes():
@@ -47,8 +53,8 @@ def test_rcg():
     pre = jax.random.normal(jax.random.key(0), (1, 8, 8, 1))
     edge = jax.random.normal(jax.random.key(1), (1, 16, 16, 64))
     f = jax.random.normal(jax.random.key(2), (1, 8, 8, 64))
-    vs = m.init(jax.random.key(3), pre, edge, f)
-    out = m.apply(vs, pre, edge, f)
+    vs = jax.jit(m.init)(jax.random.key(3), pre, edge, f)
+    out = jax.jit(m.apply)(vs, pre, edge, f)
     assert out.shape == (1, 8, 8, 64)
 
 
@@ -70,6 +76,7 @@ def test_unet_forward():
     assert out_t.shape == (1, 1, 64, 64)
 
 
+@pytest.mark.slow
 def test_transunet_forward():
     from mm_unet_tpu.models.transunet import TransUNet
 
@@ -80,6 +87,7 @@ def test_transunet_forward():
     assert out.shape == (1, 1, 64, 64)
 
 
+@pytest.mark.slow
 def test_convunext_forward():
     from mm_unet_tpu.models.convunext import ConvUNeXt
 
@@ -89,6 +97,7 @@ def test_convunext_forward():
     assert out.shape == (1, 1, 64, 64)
 
 
+@pytest.mark.slow
 def test_cfpnet_forward():
     from mm_unet_tpu.models.cfpnet import CFPNet
 
@@ -118,6 +127,7 @@ def test_um_net_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_pvtv2_pyramid():
     from mm_unet_tpu.models.pvtv2 import PVTv2
 
@@ -148,6 +158,7 @@ def test_duat_forward():
     assert out.shape == (1, 1, 64, 64)
 
 
+@pytest.mark.slow
 def test_unetr_forward():
     from mm_unet_tpu.models.unetr import UNETR
 
@@ -158,6 +169,7 @@ def test_unetr_forward():
     assert out.shape == (1, 1, 64, 64)
 
 
+@pytest.mark.slow
 def test_swin_unetr_forward():
     from mm_unet_tpu.models.swin_unetr import SwinUNETR
 

@@ -12,8 +12,27 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mm_unet_tpu.ops.selective_scan import selective_scan, selective_scan_ref
-from mm_unet_tpu.ops.pallas_scan import selective_scan_pallas
+import importlib
+
+# the ops package re-exports same-named functions, shadowing the submodules
+_ss_mod = importlib.import_module("mm_unet_tpu.ops.selective_scan")
+_ps_mod = importlib.import_module("mm_unet_tpu.ops.pallas_scan")
+
+# jit the ops under test: one cached XLA compile per signature instead of
+# eager per-op dispatch (the persistent compilation cache makes repeat CI
+# runs hit these instantly)
+selective_scan_ref = jax.jit(
+    _ss_mod.selective_scan_ref,
+    static_argnames=("delta_softplus", "return_last_state"),
+)
+selective_scan = jax.jit(
+    _ss_mod.selective_scan,
+    static_argnames=("delta_softplus", "return_last_state", "implementation"),
+)
+selective_scan_pallas = jax.jit(
+    _ps_mod.selective_scan_pallas,
+    static_argnames=("delta_softplus", "return_last_state", "chunk", "interpret"),
+)
 
 
 def _make_inputs(rng, batch, dim, L, N, varBC=True, has_D=True, has_z=True,
@@ -98,9 +117,9 @@ def test_scan_gradients(L, impl):
     else:
         fn = lambda *a, **k: selective_scan(*a, **k, implementation="assoc")  # noqa: E731
 
-    gref = jax.grad(_loss(selective_scan_ref, None), argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
+    gref = jax.jit(jax.grad(_loss(selective_scan_ref, None), argnums=(0, 1, 2, 3, 4, 5, 6, 7)))(
         u, delta, A, B, C, D, z, bias)
-    gout = jax.grad(_loss(fn, None), argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
+    gout = jax.jit(jax.grad(_loss(fn, None), argnums=(0, 1, 2, 3, 4, 5, 6, 7)))(
         u, delta, A, B, C, D, z, bias)
     names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias"]
     for name, a, b in zip(names, gout, gref):
@@ -142,9 +161,9 @@ def test_scan_grouped_BC(G):
             return jnp.sum(jnp.sin(o))
         return f
 
-    gref = jax.grad(loss(selective_scan_ref), argnums=(0, 1, 2, 3, 4))(u, delta, A, Bv, Cv)
-    gout = jax.grad(loss(lambda *a, **k: selective_scan_pallas(*a, **k, chunk=128)),
-                    argnums=(0, 1, 2, 3, 4))(u, delta, A, Bv, Cv)
+    gref = jax.jit(jax.grad(loss(selective_scan_ref), argnums=(0, 1, 2, 3, 4)))(u, delta, A, Bv, Cv)
+    gout = jax.jit(jax.grad(loss(lambda *a, **k: selective_scan_pallas(*a, **k, chunk=128)),
+                            argnums=(0, 1, 2, 3, 4)))(u, delta, A, Bv, Cv)
     for name, a, b in zip(["du", "ddelta", "dA", "dB", "dC"], gout, gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
                                    err_msg=name)
