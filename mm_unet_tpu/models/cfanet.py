@@ -28,7 +28,8 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel
-        x = nn.Conv(self.out, (k, k), strides=(self.stride, self.stride), padding="SAME")(x)
+        x = nn.Conv(self.out, (k, k), strides=(self.stride, self.stride),
+                    padding=((k // 2, k // 2), (k // 2, k // 2)))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(x)
 

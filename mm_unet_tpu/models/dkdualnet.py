@@ -172,7 +172,8 @@ class dkDualNet(nn.Module):
         cur = 0
         for i in range(4):
             if i == 0:
-                h = nn.Conv(self.dims[0], (7, 7), strides=(2, 2), padding="SAME")(h)
+                h = nn.Conv(self.dims[0], (7, 7), strides=(2, 2),
+                            padding=((3, 3), (3, 3)))(h)
             else:
                 h = nn.Conv(self.dims[i], (2, 2), strides=(2, 2))(h)
             h = nn.LayerNorm(epsilon=1e-6)(h)

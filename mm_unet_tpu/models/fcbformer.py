@@ -60,7 +60,7 @@ class FCB(nn.Module):
                 hs.append(h)
                 chans.append(ch)
             if level != self.n_levels - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME")(h)
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(h)
                 hs.append(h)
                 chans.append(ch)
         h = RB(ch)(h)

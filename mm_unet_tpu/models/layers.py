@@ -93,9 +93,10 @@ class ConvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.kernel // 2  # torch pad=k//2 (SAME pads (0,1) at stride 2)
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=self.use_bias,
+            padding=((p, p), (p, p)), use_bias=self.use_bias,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
         return nn.relu(x)

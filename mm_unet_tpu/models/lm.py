@@ -30,6 +30,8 @@ class MixerModel(nn.Module):
     n_layer: int
     vocab_size: int
     d_state: int = 16
+    rms_norm: bool = False  # reference `mixer_seq_simple.py:25,37`
+    fused_add_norm: bool = False  # reference `mixer_seq_simple.py:27,109-110`
 
     @nn.compact
     def __call__(self, input_ids: Array) -> Array:
@@ -38,11 +40,14 @@ class MixerModel(nn.Module):
         for i in range(self.n_layer):
             h, residual = Block(
                 dim=self.d_model,
+                rms_norm=self.rms_norm,
+                fused_add_norm=self.fused_add_norm,
                 mamba_kwargs={"d_state": self.d_state, "bimamba_type": "none"},
                 name=f"layers_{i}",
             )(h, residual)
         residual = h + residual if residual is not None else h
-        return nn.LayerNorm(name="norm_f")(residual)
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        return norm_cls(name="norm_f")(residual)
 
 
 class MambaLMHeadModel(nn.Module):
@@ -52,11 +57,14 @@ class MambaLMHeadModel(nn.Module):
     n_layer: int
     vocab_size: int
     d_state: int = 16
+    rms_norm: bool = False
+    fused_add_norm: bool = False
 
     @nn.compact
     def __call__(self, input_ids: Array) -> Array:
         h = MixerModel(self.d_model, self.n_layer, self.vocab_size,
-                       self.d_state, name="backbone")(input_ids)
+                       self.d_state, self.rms_norm, self.fused_add_norm,
+                       name="backbone")(input_ids)
         embed = self.variables["params"]["backbone"]["embedding"]["embedding"]
         return h @ embed.T  # tied head
 

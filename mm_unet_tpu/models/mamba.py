@@ -244,19 +244,40 @@ class Mamba(nn.Module):
 
 class Block(nn.Module):
     """Prenorm residual wrapper: Add -> Norm -> Mixer (reference
-    `mamba_simple.py:453-506`). Returns (hidden_states, residual)."""
+    `mamba_simple.py:453-506`). Returns (hidden_states, residual).
+
+    `rms_norm` selects RMSNorm over LayerNorm and `fused_add_norm` runs the
+    add+norm in float32 before casting back — the semantics of the reference's
+    Triton `layer_norm_fn/rms_norm_fn` (`mamba_ssm/ops/triton/layernorm.py`,
+    `Block(fused_add_norm=True)`). On TPU the fusion itself is XLA's job (the
+    add, the reduction and the scale all land in one elementwise fusion); the
+    flag's observable effect is the fp32 residual arithmetic."""
 
     dim: int
     norm_epsilon: float = 1e-5
     residual_in_fp32: bool = False
+    rms_norm: bool = False
+    fused_add_norm: bool = False
     mamba_kwargs: dict = None
 
     @nn.compact
     def __call__(self, hidden_states: Array, residual: Optional[Array] = None):
-        residual = hidden_states + residual if residual is not None else hidden_states
-        if self.residual_in_fp32:
-            residual = residual.astype(jnp.float32)
-        h = nn.LayerNorm(epsilon=self.norm_epsilon)(residual)
+        dtype = hidden_states.dtype
+        if self.fused_add_norm:
+            hs32 = hidden_states.astype(jnp.float32)
+            residual = hs32 + residual if residual is not None else hs32
+            if not self.residual_in_fp32:
+                residual = residual.astype(dtype)
+            norm_in = residual.astype(jnp.float32)
+        else:
+            residual = (
+                hidden_states + residual if residual is not None else hidden_states
+            )
+            if self.residual_in_fp32:
+                residual = residual.astype(jnp.float32)
+            norm_in = residual
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        h = norm_cls(epsilon=self.norm_epsilon)(norm_in).astype(dtype)
         kw = dict(self.mamba_kwargs or {})
         kw.setdefault("bimamba_type", "none")
         h = Mamba(d_model=self.dim, **kw)(h)

@@ -241,8 +241,8 @@ class ResidualBlock(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
 
         if self.downsample:
-            x1 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="SAME",
-                         use_bias=False)(x)
+            x1 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)), use_bias=False)(x)
             x1 = nn.relu(bn(x1))
             x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat)(x1, train)
             x1 = bn(x1)
@@ -280,7 +280,8 @@ class MM_Net(nn.Module):
         in_hw = x.shape[1:3]
 
         # stem (MMUNet.py:492-493)
-        e1 = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        e1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                     use_bias=False)(x)  # torch pad 3 (MMUNet.py:492)
         e1 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(e1)
         e1 = nn.relu(e1)
         e1_pool = nn.max_pool(e1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -40,7 +40,7 @@ class MixFFN(nn.Module):
     def __call__(self, x, H, W, train: bool = False):
         x = nn.Dense(self.hidden)(x)
         x = DWConv(self.hidden)(x, H, W)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
         x = nn.Dense(self.out)(x)
         return x
 

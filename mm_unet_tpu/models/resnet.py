@@ -29,7 +29,7 @@ class BasicBlock(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
 
         out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False)(x)
+                      padding=((1, 1), (1, 1)), use_bias=False)(x)
         out = nn.relu(bn(out))
         out = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(out)
         out = bn(out)
@@ -48,7 +48,8 @@ class ResNet34Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        e1 = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        e1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                     use_bias=False)(x)  # torch pad 3 (SAME would pad (2,3))
         e1 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(e1)
         e1 = nn.relu(e1)
         h = nn.max_pool(e1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -76,32 +77,37 @@ class Bottle2neck(nn.Module):
         def bn(v):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
 
-        width = int(self.features * (self.base_width / 64.0)) * self.scale
+        per = int(self.features * (self.base_width / 64.0))  # width per split
+        width = per * self.scale
         out = nn.Conv(width, (1, 1), use_bias=False)(x)
         out = nn.relu(bn(out))
-        per = width // self.scale
         splits = [out[..., i * per : (i + 1) * per] for i in range(self.scale)]
         ys = []
         sp = None
         for i in range(self.scale - 1):
             sp = splits[i] if (i == 0 or self.downsample) else sp + splits[i]
             sp = nn.Conv(per, (3, 3), strides=(self.stride, self.stride),
-                         padding="SAME", use_bias=False)(sp)
+                         padding=((1, 1), (1, 1)), use_bias=False)(sp)
             sp = nn.relu(bn(sp))
             ys.append(sp)
         last = splits[-1]
-        if self.stride > 1:
-            last = nn.avg_pool(last, (self.stride, self.stride), strides=(self.stride, self.stride))
+        if self.downsample:
+            # 'stage' blocks 3x3-avg-pool the untouched last split even at
+            # stride 1 (reference CFANet.py:179,218-219)
+            last = nn.avg_pool(last, (3, 3), strides=(self.stride, self.stride),
+                               padding=((1, 1), (1, 1)))
         ys.append(last)
         out = jnp.concatenate(ys, axis=-1)
         out = nn.Conv(self.features * 4, (1, 1), use_bias=False)(out)
         out = bn(out)
         if self.downsample or x.shape[-1] != self.features * 4:
-            x = nn.Conv(self.features * 4, (1, 1), strides=(self.stride, self.stride),
-                        use_bias=False)(x)
+            # v1b shortcut: avg-pool then stride-1 1x1 conv + BN
+            # (reference CFANet.py:118-125)
+            if self.stride > 1:
+                x = nn.avg_pool(x, (self.stride, self.stride),
+                                strides=(self.stride, self.stride))
+            x = nn.Conv(self.features * 4, (1, 1), use_bias=False)(x)
             x = bn(x)
-        elif self.stride > 1:
-            x = nn.avg_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride))
         return nn.relu(out + x)
 
 
@@ -118,7 +124,8 @@ class Res2Net50Encoder(nn.Module):
         def bn(v):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
 
-        h = nn.relu(bn(nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)))
+        h = nn.relu(bn(nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                               use_bias=False)(x)))
         h = nn.relu(bn(nn.Conv(32, (3, 3), padding="SAME", use_bias=False)(h)))
         h = nn.relu(bn(nn.Conv(64, (3, 3), padding="SAME", use_bias=False)(h)))
         x0 = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -102,7 +102,8 @@ class EncoderBottleneck(nn.Module):
         down = bn(down)
         width = int(self.out_channels * (self.base_width / 64))
         h = nn.relu(bn(nn.Conv(width, (1, 1), use_bias=False)(x)))
-        h = nn.relu(bn(nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(h)))
+        h = nn.relu(bn(nn.Conv(width, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)), use_bias=False)(h)))
         h = bn(nn.Conv(self.out_channels, (1, 1), use_bias=False)(h))
         return nn.relu(h + down)
 
@@ -142,7 +143,8 @@ class TransUNet(nn.Module):
         def bn(v):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
 
-        h = nn.Conv(oc, (7, 7), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        h = nn.Conv(oc, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False)(x)
         x1 = nn.relu(bn(h))
         x2 = EncoderBottleneck(oc * 2, stride=2)(x1, train)
         x3 = EncoderBottleneck(oc * 4, stride=2)(x2, train)

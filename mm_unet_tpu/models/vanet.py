@@ -30,7 +30,8 @@ class ConvProj(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(self.dim, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", feature_group_count=self.dim, use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), feature_group_count=self.dim,
+                    use_bias=False)(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         return h
 
@@ -40,6 +41,8 @@ class CvTAttention(nn.Module):
     num_heads: int
     stride_kv: int = 1
     pool_kv: bool = False  # avg-pool k/v 2x (encoder stage2 odd blocks)
+    attn_drop: float = 0.0  # on attention weights (ref cls_cvt.py:459)
+    proj_drop: float = 0.0  # after output projection (ref cls_cvt.py:464)
 
     @nn.compact
     def __call__(self, x, train: bool = False, r=None):
@@ -66,9 +69,22 @@ class CvTAttention(nn.Module):
             guide = jnp.abs(jnp.einsum("bxc,byc->bxy", r0, r1))[:, None] + 1.0
             guide = guide / jnp.max(guide, axis=3, keepdims=True)
             att = alpha * guide * att
+        att = nn.Dropout(self.attn_drop, deterministic=not train)(att)
         out = jnp.einsum("bhlt,bthd->blhd", att, vt).reshape(b, H * W, self.dim)
         out = nn.Dense(self.dim)(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out.reshape(b, H, W, self.dim)
+
+
+def _drop_path(x, rate: float, train: bool, mod: nn.Module):
+    """Stochastic depth on the residual branch (ref cls_cvt.py:567-584,
+    timm DropPath): per-sample Bernoulli keep, scaled by 1/keep_prob."""
+    if rate == 0.0 or not train:
+        return x
+    keep = 1.0 - rate
+    rng = mod.make_rng("dropout")
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
 
 
 class CvTBlock(nn.Module):
@@ -77,19 +93,23 @@ class CvTBlock(nn.Module):
     mlp_ratio: float = 4.0
     stride_kv: int = 1
     pool_kv: bool = False
+    mlp_drop: float = 0.0  # 'drop' after each MLP dense (ref cls_cvt.py:71,73)
+    attn_drop: float = 0.0
+    drop_path: float = 0.0  # on both residual branches (ref cls_cvt.py:583-584)
 
     @nn.compact
     def __call__(self, x, train: bool = False, r=None):
         h = nn.LayerNorm(epsilon=1e-5)(x)
-        h = CvTAttention(self.dim, self.num_heads, self.stride_kv, self.pool_kv)(
-            h, train, r
-        )
-        x = x + h
+        h = CvTAttention(self.dim, self.num_heads, self.stride_kv, self.pool_kv,
+                         self.attn_drop, self.mlp_drop)(h, train, r)
+        x = x + _drop_path(h, self.drop_path, train, self)
         m = nn.LayerNorm(epsilon=1e-5)(x)
         m = nn.Dense(int(self.dim * self.mlp_ratio))(m)
         m = quick_gelu(m)
+        m = nn.Dropout(self.mlp_drop, deterministic=not train)(m)
         m = nn.Dense(self.dim)(m)
-        return x + m
+        m = nn.Dropout(self.mlp_drop, deterministic=not train)(m)
+        return x + _drop_path(m, self.drop_path, train, self)
 
 
 class PatchMerge(nn.Module):
@@ -139,35 +159,50 @@ class VANet(nn.Module):
         x = nchw_to_nhwc(x)
         in_hw = x.shape[1:3]
         dims, heads, mr = self.embed_dims, self.num_heads, self.mlp_ratios
+        dp, ad, pd = self.drop_path, self.attn_drop, self.proj_drop
+
+        def dpr(stage, j):  # per-stage stochastic-depth decay (ref cls_cvt.py:670)
+            d = self.depths[stage]
+            return dp * j / (d - 1) if d > 1 else 0.0
 
         # encoder stage 0 / 1 (full CvT stages)
         f0 = PatchMerge(dims[0], 7, self.strides[0])(x)
-        for _ in range(self.depths[0]):
-            f0 = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2)(f0, train)
+        for j in range(self.depths[0]):
+            f0 = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2,
+                          mlp_drop=pd, attn_drop=ad, drop_path=dpr(0, j))(f0, train)
         f1 = PatchMerge(dims[1], 3, self.strides[1])(f0)
-        for _ in range(self.depths[1]):
-            f1 = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2)(f1, train)
+        for j in range(self.depths[1]):
+            f1 = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2,
+                          mlp_drop=pd, attn_drop=ad, drop_path=dpr(1, j))(f1, train)
 
         # encoder stage 2 = first half of CvT stage-2 blocks
         f = PatchMerge(dims[2], 3, self.strides[2])(f1)
         for i in range(self.depths[2] // 2):
             f = CvTBlock(dims[2], heads[2], mr[2], stride_kv=1 if i % 2 else 2,
-                         pool_kv=(i % 2 == 1))(f, train)
+                         pool_kv=(i % 2 == 1),
+                         mlp_drop=pd, attn_drop=ad, drop_path=dpr(2, i))(f, train)
         out0 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
-        # decoder stage 0 = second half, guided by out0
-        for _ in range(self.depths[2] - self.depths[2] // 2):
-            f = CvTBlock(dims[2], heads[2], mr[2], stride_kv=2)(f, train, r=out0)
+        # decoder stage 0 = second half of CvT stage-2 blocks (keep their
+        # yaml-derived per-depth drop_path), guided by out0
+        for j in range(self.depths[2] - self.depths[2] // 2):
+            f = CvTBlock(dims[2], heads[2], mr[2], stride_kv=2,
+                         mlp_drop=pd, attn_drop=ad,
+                         drop_path=dpr(2, self.depths[2] // 2 + j))(f, train, r=out0)
         out1 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
+        # decoder stages 1/2: freshly-built Blocks with constant rates
+        # (ref VANet.py:167-199: drop=proj_drop, attn_drop, drop_path)
         f = PatchExpand(dims[1], 2 * self.strides[2] - 1, self.strides[2])(f, f1)
         for _ in range(self.depths[1]):
-            f = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2)(f, train, r=out1)
+            f = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2,
+                         mlp_drop=pd, attn_drop=ad, drop_path=dp)(f, train, r=out1)
         out2 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
         f = PatchExpand(dims[0], 2 * self.strides[1] - 1, self.strides[1])(f, f0)
         for _ in range(self.depths[0]):
-            f = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2)(f, train, r=out2)
+            f = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2,
+                         mlp_drop=pd, attn_drop=ad, drop_path=dp)(f, train, r=out2)
         out3 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
         out = jax.nn.sigmoid(out3)  # ref parity: sigmoid before upsample

@@ -13,11 +13,15 @@ same code then spans hosts (DCN) without change.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_logger = logging.getLogger(__name__)
+_warned_shapes: set = set()
 
 
 def make_mesh(
@@ -41,6 +45,13 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
     def put(x):
         if x.ndim == 0 or x.shape[0] % n != 0:
+            if n > 1 and x.ndim > 0 and x.shape[:1] not in _warned_shapes:
+                _warned_shapes.add(x.shape[:1])
+                _logger.warning(
+                    "shard_batch: batch dim %d not divisible by %d devices — "
+                    "replicating (every device computes the full batch). Pad "
+                    "or split the batch to use the mesh.", x.shape[0], n,
+                )
             spec = P()
         else:
             spec = P(axis, *([None] * (x.ndim - 1)))

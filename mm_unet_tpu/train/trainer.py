@@ -42,6 +42,11 @@ def create_train_state(model, config, rng, sample_input) -> TrainState:
     variables = jax.jit(model.init)(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, sample_input
     )
+    # torch .pth backbone warm start when the model's config block names one
+    # (reference in-__init__ loads, e.g. src/DuAT/DuAT.py:332-337)
+    from mm_unet_tpu.utils.torch_convert import warm_start_variables
+
+    variables = warm_start_variables(variables, config)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tcfg = config.trainer

@@ -42,11 +42,13 @@ def load_torch_state_dict(path: str) -> dict:
 def load_pvtv2_params(flax_params: dict, sd: dict, depths=(3, 4, 6, 3)) -> dict:
     """Returns a copy of `flax_params` (a PVTv2 module's params dict) with
     every tensor that exists in the torch state_dict replaced."""
-    import copy
 
-    p = copy.deepcopy(
-        flax_params if isinstance(flax_params, dict) else flax_params.unfreeze()
-    )
+    def to_mutable(t):
+        return (
+            {k: to_mutable(s) for k, s in t.items()} if hasattr(t, "items") else t
+        )
+
+    p = to_mutable(flax_params)
 
     def put(dst_path, value):
         node = p
@@ -109,3 +111,144 @@ def load_pvtv2_params(flax_params: dict, sd: dict, depths=(3, 4, 6, 3)) -> dict:
             n_loaded += put((f"LayerNorm_{i}", "bias"), np.asarray(sd[f"norm{i+1}.bias"]))
     print(f"load_pvtv2_params: loaded {n_loaded} tensors")
     return p
+
+
+def load_res2net_params(variables: dict, sd: dict, blocks=(3, 4, 6, 3)) -> dict:
+    """Map a Res2Net-50 v1b torch state_dict (reference
+    `src/CFANet/CFANet.py:82-263` naming: deep stem `conv1.{0,3,6}`+`bn1`,
+    `layer{i}.{j}.{conv1,bn1,convs.k,bns.k,conv3,bn3,downsample.{1,2}}`) onto
+    `mm_unet_tpu.models.resnet.Res2Net50Encoder` variables. Fills both the
+    `params` (kernel/scale/bias) and `batch_stats` (mean/var) collections.
+    Returns a new variables dict; tensors absent from `sd` are left as-is."""
+
+    def to_mutable(t):
+        return (
+            {k: to_mutable(s) for k, s in t.items()} if hasattr(t, "items") else t
+        )
+
+    v = to_mutable(variables)
+    params, stats = v["params"], v.get("batch_stats", {})
+    n_loaded = 0
+
+    def put_conv(flax_name, torch_key, tree):
+        nonlocal n_loaded
+        if torch_key in sd and flax_name in tree:
+            w = conv_kernel(sd[torch_key])
+            if tree[flax_name]["kernel"].shape == w.shape:
+                tree[flax_name]["kernel"] = w.astype(tree[flax_name]["kernel"].dtype)
+                n_loaded += 1
+
+    def put_bn(flax_name, torch_prefix, ptree, stree):
+        nonlocal n_loaded
+        for src, dst, tgt in (
+            ("weight", "scale", ptree), ("bias", "bias", ptree),
+            ("running_mean", "mean", stree), ("running_var", "var", stree),
+        ):
+            key = f"{torch_prefix}.{src}"
+            if key in sd and flax_name in tgt and dst in tgt[flax_name]:
+                val = np.asarray(sd[key])
+                if tgt[flax_name][dst].shape == val.shape:
+                    tgt[flax_name][dst] = val.astype(tgt[flax_name][dst].dtype)
+                    n_loaded += 1
+
+    # deep stem: torch conv1.{0,3,6} + bn1 -> flax Conv_0..2 / BatchNorm_0..2
+    for fi, tkey in ((0, "conv1.0"), (1, "conv1.3"), (2, "conv1.6")):
+        put_conv(f"Conv_{fi}", f"{tkey}.weight", params)
+    for fi, tkey in ((0, "conv1.1"), (1, "conv1.4"), (2, "bn1")):
+        put_bn(f"BatchNorm_{fi}", tkey, params, stats)
+
+    k = 0
+    for i, n in enumerate(blocks):
+        for j in range(n):
+            t = f"layer{i+1}.{j}"
+            f = f"Bottle2neck_{k}"
+            k += 1
+            if f not in params:
+                continue
+            bp, bs = params[f], stats.get(f, {})
+            put_conv("Conv_0", f"{t}.conv1.weight", bp)
+            put_bn("BatchNorm_0", f"{t}.bn1", bp, bs)
+            for s in range(3):  # scale-1 = 3 hierarchical 3x3s
+                put_conv(f"Conv_{1+s}", f"{t}.convs.{s}.weight", bp)
+                put_bn(f"BatchNorm_{1+s}", f"{t}.bns.{s}", bp, bs)
+            put_conv("Conv_4", f"{t}.conv3.weight", bp)
+            put_bn("BatchNorm_4", f"{t}.bn3", bp, bs)
+            put_conv("Conv_5", f"{t}.downsample.1.weight", bp)
+            put_bn("BatchNorm_5", f"{t}.downsample.2", bp, bs)
+    print(f"load_res2net_params: loaded {n_loaded} tensors")
+    return v
+
+
+def _find_subtree(tree, prefix: str, path=()):
+    """DFS for the first dict key starting with `prefix`; returns its path."""
+    if not isinstance(tree, dict) and not hasattr(tree, "items"):
+        return None
+    for k, sub in tree.items():
+        if str(k).startswith(prefix):
+            return path + (k,)
+        found = _find_subtree(sub, prefix, path + (k,))
+        if found is not None:
+            return found
+    return None
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+
+
+def warm_start_variables(variables, config):
+    """Load a torch backbone checkpoint into freshly-initialised variables.
+
+    Mirrors the reference models' in-__init__ `.pth` loads (e.g.
+    `/root/reference/src/DuAT/DuAT.py:332-337`,
+    `src/FCBFormer/models.py:111`): if the selected model's config block
+    declares a `model_dir` that exists on disk, the torch state_dict is
+    converted and grafted onto the PVTv2 / Res2Net backbone subtree. No-op
+    (returns `variables` unchanged) when no checkpoint is configured/present.
+    """
+    import os
+
+    try:
+        from mm_unet_tpu.models.registry import _model_kwargs
+
+        name = config.finetune.model_choose
+        path = _model_kwargs(config, name).get("model_dir", "")
+    except Exception:
+        return variables
+    if not path or not os.path.exists(path):
+        return variables
+
+    sd = load_torch_state_dict(path)
+
+    def to_mutable(t):
+        return (
+            {k: to_mutable(s) for k, s in t.items()} if hasattr(t, "items") else t
+        )
+
+    v = to_mutable(variables)
+    pvt_path = _find_subtree(v.get("params", {}), "PVTv2")
+    if pvt_path is not None:
+        depths = (3, 4, 18, 3) if any("block3.7." in k for k in sd) else (3, 4, 6, 3)
+        loaded = load_pvtv2_params(_get(v["params"], pvt_path), sd, depths)
+        _set(v["params"], pvt_path, loaded)
+        return v
+    r2n_path = _find_subtree(v.get("params", {}), "Res2Net50Encoder")
+    if r2n_path is not None:
+        sub = {"params": _get(v["params"], r2n_path)}
+        if "batch_stats" in v:
+            sub["batch_stats"] = _get(v["batch_stats"], r2n_path)
+        loaded = load_res2net_params(sub, sd)
+        _set(v["params"], r2n_path, loaded["params"])
+        if "batch_stats" in loaded and "batch_stats" in v:
+            _set(v["batch_stats"], r2n_path, loaded["batch_stats"])
+        return v
+    return variables

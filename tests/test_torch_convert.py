@@ -1,0 +1,293 @@
+"""Torch->flax converter round-trip tests (VERDICT round-1 item 7).
+
+Builds tiny torch-layout state dicts (reference naming), converts them with
+`utils/torch_convert`, loads them into the flax PVTv2 / Res2Net50Encoder
+backbones, and asserts forward equivalence against an independent torch
+functional forward implementing the reference semantics
+(`/root/reference/src/FCBFormer/pvt_v2.py`, `src/CFANet/CFANet.py:82-263`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mm_unet_tpu.models.pvtv2 import PVTv2  # noqa: E402
+from mm_unet_tpu.models.resnet import Res2Net50Encoder  # noqa: E402
+from mm_unet_tpu.utils.torch_convert import (  # noqa: E402
+    conv_kernel,
+    load_pvtv2_params,
+    load_res2net_params,
+)
+
+# ---------------------------------------------------------------- PVTv2
+
+DIMS = (8, 8, 16, 16)
+HEADS = (1, 1, 2, 2)
+MLPS = (2, 2, 2, 2)
+DEPTHS = (1, 1, 1, 1)
+SRS = (2, 2, 1, 1)
+
+
+def _make_pvt_state_dict(rng):
+    """Random tensors under the reference pvt_v2.py names."""
+    sd = {}
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.1
+
+    in_c = 3
+    for i in range(4):
+        c = DIMS[i]
+        p = 7 if i == 0 else 3
+        sd[f"patch_embed{i+1}.proj.weight"] = t(c, in_c, p, p)
+        sd[f"patch_embed{i+1}.proj.bias"] = t(c)
+        sd[f"patch_embed{i+1}.norm.weight"] = 1.0 + t(c)
+        sd[f"patch_embed{i+1}.norm.bias"] = t(c)
+        for j in range(DEPTHS[i]):
+            b = f"block{i+1}.{j}"
+            sd[f"{b}.norm1.weight"] = 1.0 + t(c)
+            sd[f"{b}.norm1.bias"] = t(c)
+            sd[f"{b}.norm2.weight"] = 1.0 + t(c)
+            sd[f"{b}.norm2.bias"] = t(c)
+            sd[f"{b}.attn.q.weight"] = t(c, c)
+            sd[f"{b}.attn.q.bias"] = t(c)
+            sd[f"{b}.attn.kv.weight"] = t(2 * c, c)
+            sd[f"{b}.attn.kv.bias"] = t(2 * c)
+            sd[f"{b}.attn.proj.weight"] = t(c, c)
+            sd[f"{b}.attn.proj.bias"] = t(c)
+            if SRS[i] > 1:
+                sd[f"{b}.attn.sr.weight"] = t(c, c, SRS[i], SRS[i])
+                sd[f"{b}.attn.sr.bias"] = t(c)
+                sd[f"{b}.attn.norm.weight"] = 1.0 + t(c)
+                sd[f"{b}.attn.norm.bias"] = t(c)
+            hid = int(c * MLPS[i])
+            sd[f"{b}.mlp.fc1.weight"] = t(hid, c)
+            sd[f"{b}.mlp.fc1.bias"] = t(hid)
+            sd[f"{b}.mlp.dwconv.dwconv.weight"] = t(hid, 1, 3, 3)
+            sd[f"{b}.mlp.dwconv.dwconv.bias"] = t(hid)
+            sd[f"{b}.mlp.fc2.weight"] = t(c, hid)
+            sd[f"{b}.mlp.fc2.bias"] = t(c)
+        sd[f"norm{i+1}.weight"] = 1.0 + t(c)
+        sd[f"norm{i+1}.bias"] = t(c)
+        in_c = c
+    return sd
+
+
+def _torch_pvt_forward(x_nchw, sd):
+    """Independent torch functional PVTv2 (reference pvt_v2.py semantics)."""
+    sd = {k: torch.from_numpy(v) for k, v in sd.items()}
+    h = x_nchw
+    pyramid = []
+    for i in range(4):
+        p = 7 if i == 0 else 3
+        st = 4 if i == 0 else 2
+        c = DIMS[i]
+        h = F.conv2d(h, sd[f"patch_embed{i+1}.proj.weight"],
+                     sd[f"patch_embed{i+1}.proj.bias"], stride=st, padding=p // 2)
+        B, C, H, W = h.shape
+        h = h.flatten(2).transpose(1, 2)
+        h = F.layer_norm(h, (C,), sd[f"patch_embed{i+1}.norm.weight"],
+                         sd[f"patch_embed{i+1}.norm.bias"], 1e-6)
+        for j in range(DEPTHS[i]):
+            b = f"block{i+1}.{j}"
+            hn = F.layer_norm(h, (C,), sd[f"{b}.norm1.weight"], sd[f"{b}.norm1.bias"], 1e-6)
+            nh, hd = HEADS[i], c // HEADS[i]
+            q = F.linear(hn, sd[f"{b}.attn.q.weight"], sd[f"{b}.attn.q.bias"]).reshape(B, -1, nh, hd)
+            if SRS[i] > 1:
+                sr = SRS[i]
+                xr = hn.transpose(1, 2).reshape(B, C, H, W)
+                xr = F.conv2d(xr, sd[f"{b}.attn.sr.weight"], sd[f"{b}.attn.sr.bias"], stride=sr)
+                xr = xr.reshape(B, C, -1).transpose(1, 2)
+                xr = F.layer_norm(xr, (C,), sd[f"{b}.attn.norm.weight"], sd[f"{b}.attn.norm.bias"], 1e-6)
+            else:
+                xr = hn
+            kv = F.linear(xr, sd[f"{b}.attn.kv.weight"], sd[f"{b}.attn.kv.bias"]).reshape(B, -1, 2, nh, hd)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+            att = torch.einsum("bnhd,bmhd->bhnm", q, k) / hd ** 0.5
+            att = att.softmax(-1)
+            out = torch.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, -1, C)
+            out = F.linear(out, sd[f"{b}.attn.proj.weight"], sd[f"{b}.attn.proj.bias"])
+            h = h + out
+            hn = F.layer_norm(h, (C,), sd[f"{b}.norm2.weight"], sd[f"{b}.norm2.bias"], 1e-6)
+            m = F.linear(hn, sd[f"{b}.mlp.fc1.weight"], sd[f"{b}.mlp.fc1.bias"])
+            hid = m.shape[-1]
+            mc = m.transpose(1, 2).reshape(B, hid, H, W)
+            mc = F.conv2d(mc, sd[f"{b}.mlp.dwconv.dwconv.weight"],
+                          sd[f"{b}.mlp.dwconv.dwconv.bias"], padding=1, groups=hid)
+            m = mc.flatten(2).transpose(1, 2)
+            m = F.gelu(m)
+            m = F.linear(m, sd[f"{b}.mlp.fc2.weight"], sd[f"{b}.mlp.fc2.bias"])
+            h = h + m
+        h = F.layer_norm(h, (C,), sd[f"norm{i+1}.weight"], sd[f"norm{i+1}.bias"], 1e-6)
+        h = h.reshape(B, H, W, C)
+        pyramid.append(h)
+        h = h.permute(0, 3, 1, 2)
+    return pyramid
+
+
+def test_pvtv2_convert_roundtrip():
+    rng = np.random.default_rng(0)
+    sd = _make_pvt_state_dict(rng)
+    model = PVTv2(embed_dims=DIMS, num_heads=HEADS, mlp_ratios=MLPS,
+                  depths=DEPTHS, sr_ratios=SRS)
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    params = load_pvtv2_params(variables["params"], sd, depths=DEPTHS)
+
+    # every mapped tensor landed (spot-check a transposed conv + a dense)
+    np.testing.assert_array_equal(
+        np.asarray(params["OverlapPatchEmbed_0"]["Conv_0"]["kernel"]),
+        conv_kernel(sd["patch_embed1.proj.weight"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["PVTBlock_0"]["SRAttention_0"]["Dense_1"]["kernel"]),
+        sd["block1.0.attn.kv.weight"].T,
+    )
+
+    flax_pyr = model.apply({"params": params}, jnp.asarray(x))
+    torch_pyr = _torch_pvt_forward(torch.from_numpy(x).permute(0, 3, 1, 2), sd)
+    assert len(flax_pyr) == 4
+    for f_lvl, t_lvl in zip(flax_pyr, torch_pyr):
+        np.testing.assert_allclose(
+            np.asarray(f_lvl), t_lvl.numpy(), rtol=1e-4, atol=2e-5
+        )
+
+
+# ---------------------------------------------------------------- Res2Net
+
+R2N_BLOCKS = (1, 1)
+R2N_WIDTHS = (16, 32)
+
+
+def _make_r2n_state_dict(rng):
+    sd = {}
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.1
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = (1.0 + t(c)).astype(np.float32)
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = (1.0 + np.abs(t(c))).astype(np.float32)
+
+    sd["conv1.0.weight"] = t(32, 3, 3, 3)
+    bn("conv1.1", 32)
+    sd["conv1.3.weight"] = t(32, 32, 3, 3)
+    bn("conv1.4", 32)
+    sd["conv1.6.weight"] = t(64, 32, 3, 3)
+    bn("bn1", 64)
+    in_c = 64
+    for i, (n, planes) in enumerate(zip(R2N_BLOCKS, R2N_WIDTHS)):
+        per = int(planes * 26 / 64)
+        width = per * 4
+        for j in range(n):
+            p = f"layer{i+1}.{j}"
+            sd[f"{p}.conv1.weight"] = t(width, in_c, 1, 1)
+            bn(f"{p}.bn1", width)
+            for s in range(3):
+                sd[f"{p}.convs.{s}.weight"] = t(per, per, 3, 3)
+                bn(f"{p}.bns.{s}", per)
+            sd[f"{p}.conv3.weight"] = t(planes * 4, width, 1, 1)
+            bn(f"{p}.bn3", planes * 4)
+            if j == 0:
+                sd[f"{p}.downsample.1.weight"] = t(planes * 4, in_c, 1, 1)
+                bn(f"{p}.downsample.2", planes * 4)
+            in_c = planes * 4
+    return sd
+
+
+def _torch_r2n_forward(x, sd):
+    """Torch functional Res2Net-50 v1b encoder, eval-mode BN
+    (reference CFANet.py:82-263)."""
+    sd = {k: torch.from_numpy(v) for k, v in sd.items()}
+
+    def bn(h, p):
+        return F.batch_norm(h, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+                            sd[f"{p}.weight"], sd[f"{p}.bias"], False, 0.0, 1e-5)
+
+    h = F.relu(bn(F.conv2d(x, sd["conv1.0.weight"], stride=2, padding=1), "conv1.1"))
+    h = F.relu(bn(F.conv2d(h, sd["conv1.3.weight"], padding=1), "conv1.4"))
+    h = F.relu(bn(F.conv2d(h, sd["conv1.6.weight"], padding=1), "bn1"))
+    x0 = F.max_pool2d(h, 3, 2, 1)
+    feats = []
+    h = x0
+    for i, (n, planes) in enumerate(zip(R2N_BLOCKS, R2N_WIDTHS)):
+        per = int(planes * 26 / 64)
+        for j in range(n):
+            p = f"layer{i+1}.{j}"
+            stride = 2 if (i > 0 and j == 0) else 1
+            out = F.relu(bn(F.conv2d(h, sd[f"{p}.conv1.weight"]), f"{p}.bn1"))
+            spx = torch.split(out, per, 1)
+            ys = []
+            sp = None
+            for s in range(3):
+                sp = spx[s] if (s == 0 or j == 0) else sp + spx[s]
+                sp = F.conv2d(sp, sd[f"{p}.convs.{s}.weight"], stride=stride, padding=1)
+                sp = F.relu(bn(sp, f"{p}.bns.{s}"))
+                ys.append(sp)
+            last = spx[3]
+            if j == 0:  # 'stage' block pools the last split even at stride 1
+                last = F.avg_pool2d(last, 3, stride, 1)
+            ys.append(last)
+            out = torch.cat(ys, 1)
+            out = bn(F.conv2d(out, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+            res = h
+            if j == 0:
+                if stride > 1:
+                    res = F.avg_pool2d(res, stride, stride)
+                res = bn(F.conv2d(res, sd[f"{p}.downsample.1.weight"]),
+                         f"{p}.downsample.2")
+            h = F.relu(out + res)
+        feats.append(h)
+    return (x0, *feats)
+
+
+def test_res2net_convert_roundtrip():
+    rng = np.random.default_rng(1)
+    sd = _make_r2n_state_dict(rng)
+    model = Res2Net50Encoder(blocks=R2N_BLOCKS, widths=R2N_WIDTHS)
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    loaded = load_res2net_params(variables, sd, blocks=R2N_BLOCKS)
+
+    # spot-check tensor placement incl. batch_stats
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["Bottle2neck_1"]["Conv_0"]["kernel"]),
+        conv_kernel(sd["layer2.0.conv1.weight"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["batch_stats"]["Bottle2neck_0"]["BatchNorm_4"]["mean"]),
+        sd["layer1.0.bn3.running_mean"],
+    )
+
+    flax_out = model.apply(loaded, jnp.asarray(x), train=False)
+    torch_out = _torch_r2n_forward(torch.from_numpy(x).permute(0, 3, 1, 2), sd)
+    assert len(flax_out) == len(torch_out)
+    for f_lvl, t_lvl in zip(flax_out, torch_out):
+        np.testing.assert_allclose(
+            np.asarray(f_lvl),
+            t_lvl.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=2e-5,
+        )
+
+
+def test_warm_start_variables_noop_without_file():
+    from mm_unet_tpu.utils.config import ConfigDict
+    from mm_unet_tpu.utils.torch_convert import warm_start_variables
+
+    variables = {"params": {"Dense_0": {"kernel": jnp.zeros((2, 2))}}}
+    cfg = ConfigDict(
+        finetune=dict(model_choose="DuAT"),
+        trainer=dict(dataset_choose="DRIVE"),
+        models=dict(duat=dict(branch1=dict(model_dir="/nonexistent.pth"))),
+    )
+    out = warm_start_variables(variables, cfg)
+    assert out is variables
