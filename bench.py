@@ -1,6 +1,12 @@
-"""Benchmark: MM_Net training throughput, DRIVE-shaped 512x512, single chip.
+"""Benchmark: MM_Net training + sliding-window inference throughput,
+DRIVE-shaped 512x512, single chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"infer_images_per_sec", "train_mfu", "train_flops_per_step"}. The primary
+metric/value stay the train img/s so rounds compare like-for-like; infer is
+measured through the real jitted sliding-window pipeline (BASELINE.md names
+"train and sliding-window infer"), and MFU = achieved FLOP/s over the v5e
+peak (197e12 bf16) using the jit cost analysis of the train step.
 
 `vs_baseline` is value / REFERENCE_A100_IMG_PER_SEC. The reference repo
 publishes no numbers (BASELINE.md), so the denominator is an estimate of the
@@ -28,11 +34,13 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 REFERENCE_A100_IMG_PER_SEC = 12.0  # estimated reference A100 train throughput
+V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e datasheet
 
 BATCH = 4
 SIZE = 512
 WARMUP_STEPS = 2
 MEASURE_STEPS = 8
+INFER_STEPS = 8
 
 
 def main() -> int:
@@ -67,6 +75,32 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
     img_per_sec = BATCH / dt
 
+    # train-step FLOPs from the compiled cost analysis -> MFU
+    try:
+        loss_struct = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
+        lowered = jax.jit(
+            train_step, static_argnames=("loss_fn", "has_batch_stats")
+        ).lower(state, x, y, rng, loss_struct)
+        cost = lowered.compile().cost_analysis()
+        flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
+    except Exception:
+        flops = float("nan")
+    mfu = flops / dt / V5E_PEAK_FLOPS if flops == flops else float("nan")
+
+    # sliding-window inference throughput through the real jitted pipeline
+    from mm_unet_tpu.train.inferers import SlidingWindowInferer
+    from mm_unet_tpu.train.trainer import make_predictor
+
+    inferer = SlidingWindowInferer(roi_size=(SIZE, SIZE), overlap=0.5)
+    predictor = make_predictor(state)
+    out = inferer(x, predictor)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(INFER_STEPS):
+        out = inferer(x, predictor)
+    jax.block_until_ready(out)
+    infer_per_sec = BATCH * INFER_STEPS / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -74,6 +108,9 @@ def main() -> int:
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
+                "infer_images_per_sec": round(infer_per_sec, 3),
+                "train_mfu": round(mfu, 4) if mfu == mfu else None,
+                "train_flops_per_step": flops if flops == flops else None,
             }
         )
     )

@@ -64,6 +64,7 @@ class MMConv(nn.Module):
     morph: int = 0
     num_slices: int = 4
     remat: bool = False
+    dtype: str | None = None  # Mamba stream compute dtype (bf16 perf knob)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -91,7 +92,9 @@ class MMConv(nn.Module):
         m_out, _, _, _ = Mamba(
             d_model=k, d_state=16, d_conv=4, expand=2,
             bimamba_type="v3", nslices=self.num_slices, name="mamba",
+            dtype=self.dtype,
         )(tokens)
+        m_out = m_out.astype(jnp.float32)
         y_keep = inverse_two_row_flatten_tokens(m_out, h, w)
 
         altho = self.param("altho", lambda key: jnp.asarray(np.log(np.e - 1.0), jnp.float32))
@@ -129,9 +132,9 @@ class MMConv(nn.Module):
         return sample_conv(self, x, y)
 
 
-def _mmconv(out_ch, k, ns, name=None, remat=False):
+def _mmconv(out_ch, k, ns, name=None, remat=False, dtype=None):
     return MMConv(out_channels=out_ch, kernel_size=k, num_slices=ns, name=name,
-                  remat=remat)
+                  remat=remat, dtype=dtype)
 
 
 class CBAM(nn.Module):
@@ -165,10 +168,12 @@ class SideoutBlock(nn.Module):
     out_channels: int
     num_slices: int = 4
     remat: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat)(x, train)
+        x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat,
+                    dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(x)
@@ -183,13 +188,15 @@ class RCG(nn.Module):
     expand: int = 2
     num_slices: int = 4
     remat: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, pre: Array, edge: Array, f: Array, train: bool = False) -> Array:
         r = (1.0 - jax.nn.sigmoid(pre)) * f
         edge1 = resize_bilinear_align_corners(edge, f.shape[1:3])
         x1 = jnp.concatenate([edge1, r], axis=-1)  # (B, H, W, 128)
-        x2 = _mmconv(64, 3, self.num_slices, remat=self.remat)(x1, train)
+        x2 = _mmconv(64, 3, self.num_slices, remat=self.remat,
+                     dtype=self.dtype)(x1, train)
         x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x2)
         x2 = nn.relu(x2)
 
@@ -199,8 +206,9 @@ class RCG(nn.Module):
         out, _, _, _ = Mamba(
             d_model=64, d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
             bimamba_type="v3", nslices=self.num_slices, name="mamba",
+            dtype=self.dtype,
         )(tokens)
-        out_m = out.reshape(b, h2, w2, c)
+        out_m = out.astype(jnp.float32).reshape(b, h2, w2, c)
         x0 = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(out_m)
 
         x3 = jax.nn.sigmoid(nn.Conv(1, (1, 1))(x2))
@@ -214,13 +222,16 @@ class DecoderBlock(nn.Module):
     out_channels: int
     num_slices: int = 4
     remat: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat)(x, train)
+        x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat,
+                    dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
-        x = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat)(x, train)
+        x = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
+                    dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         return resize_bilinear_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
@@ -234,6 +245,7 @@ class ResidualBlock(nn.Module):
     num_slices: int
     downsample: bool = False
     remat: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -244,13 +256,16 @@ class ResidualBlock(nn.Module):
             x1 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                          padding=((1, 1), (1, 1)), use_bias=False)(x)
             x1 = nn.relu(bn(x1))
-            x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat)(x1, train)
+            x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
+                         dtype=self.dtype)(x1, train)
             x1 = bn(x1)
             sc = nn.Conv(self.out_channels, (1, 1), strides=(2, 2), use_bias=False)(x)
             return nn.relu(bn(sc) + x1)
-        x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat)(x, train)
+        x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
+                     dtype=self.dtype)(x, train)
         x1 = nn.relu(bn(x1))
-        x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat)(x1, train)
+        x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
+                     dtype=self.dtype)(x1, train)
         x1 = bn(x1)
         return nn.relu(x1 + x)
 
@@ -271,11 +286,13 @@ class MM_Net(nn.Module):
     heads: Sequence[int] = (1, 2, 4, 4)  # config parity; unused (ref parity)
     remat: bool = True
     depths: Sequence[int] = (3, 4, 6, 3)  # ResNet-34-shaped stage depths (ref default)
+    mamba_dtype: str | None = "bfloat16"  # Mamba stream dtype; scan state stays f32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         ns = list(self.num_slices_list)
         rm = self.remat
+        dty = self.mamba_dtype
         x = nchw_to_nhwc(x)
         in_hw = x.shape[1:3]
 
@@ -290,20 +307,20 @@ class MM_Net(nn.Module):
         d1, d2_, d3_, d4_ = self.depths
         e2 = e1_pool
         for _ in range(d1):
-            e2 = ResidualBlock(64, 64, ns[0], remat=rm)(e2, train)
-        e3 = ResidualBlock(64, 128, ns[1], downsample=True, remat=rm)(e2, train)
+            e2 = ResidualBlock(64, 64, ns[0], remat=rm, dtype=dty)(e2, train)
+        e3 = ResidualBlock(64, 128, ns[1], downsample=True, remat=rm, dtype=dty)(e2, train)
         for _ in range(d2_ - 1):
-            e3 = ResidualBlock(128, 128, ns[1], remat=rm)(e3, train)
-        e4 = ResidualBlock(128, 256, ns[2], downsample=True, remat=rm)(e3, train)
+            e3 = ResidualBlock(128, 128, ns[1], remat=rm, dtype=dty)(e3, train)
+        e4 = ResidualBlock(128, 256, ns[2], downsample=True, remat=rm, dtype=dty)(e3, train)
         for _ in range(d3_ - 1):
-            e4 = ResidualBlock(256, 256, ns[2], remat=rm)(e4, train)
-        e5 = ResidualBlock(256, 512, ns[3], downsample=True, remat=rm)(e4, train)
+            e4 = ResidualBlock(256, 256, ns[2], remat=rm, dtype=dty)(e4, train)
+        e5 = ResidualBlock(256, 512, ns[3], downsample=True, remat=rm, dtype=dty)(e4, train)
         for _ in range(d4_ - 1):
-            e5 = ResidualBlock(512, 512, ns[3], remat=rm)(e5, train)
+            e5 = ResidualBlock(512, 512, ns[3], remat=rm, dtype=dty)(e5, train)
 
         # 1x1 MMConv channel reducers (MMUNet.py:502-504)
         def down(v, k_ns):
-            v = _mmconv(64, 1, k_ns, remat=rm)(v, train)
+            v = _mmconv(64, 1, k_ns, remat=rm, dtype=dty)(v, train)
             v = nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
             return nn.relu(v)
 
@@ -312,8 +329,8 @@ class MM_Net(nn.Module):
         e5d = down(e5, ns[-1])
 
         # decoder5 + side5 (MMUNet.py:549-550)
-        d5 = DecoderBlock(64, 64, ns[3], remat=rm)(e5d, train)
-        out5 = SideoutBlock(64, self.num_classes, ns[3], remat=rm)(d5, train)
+        d5 = DecoderBlock(64, 64, ns[3], remat=rm, dtype=dty)(e5d, train)
+        out5 = SideoutBlock(64, self.num_classes, ns[3], remat=rm, dtype=dty)(d5, train)
 
         # contour branch (MMUNet.py:508-511,553-556)
         c1 = nn.Conv(64, (3, 3), padding="SAME")(e1)
@@ -326,17 +343,17 @@ class MM_Net(nn.Module):
         p_c = nn.Conv(1, (3, 3), padding="SAME")(c1)
 
         # decoder cascade with RCG gating (MMUNet.py:559-574)
-        r4 = RCG(num_slices=ns[2], remat=rm)(out5, c1, e4d, train)
-        d4 = DecoderBlock(128, 64, ns[2], remat=rm)(jnp.concatenate([d5, r4], -1), train)
-        out4 = SideoutBlock(64, self.num_classes, ns[2], remat=rm)(d4, train)
+        r4 = RCG(num_slices=ns[2], remat=rm, dtype=dty)(out5, c1, e4d, train)
+        d4 = DecoderBlock(128, 64, ns[2], remat=rm, dtype=dty)(jnp.concatenate([d5, r4], -1), train)
+        out4 = SideoutBlock(64, self.num_classes, ns[2], remat=rm, dtype=dty)(d4, train)
 
-        r3 = RCG(num_slices=ns[1], remat=rm)(out4, c1, e3d, train)
-        d3 = DecoderBlock(128, 64, ns[1], remat=rm)(jnp.concatenate([d4, r3], -1), train)
-        out3 = SideoutBlock(64, self.num_classes, ns[1], remat=rm)(d3, train)
+        r3 = RCG(num_slices=ns[1], remat=rm, dtype=dty)(out4, c1, e3d, train)
+        d3 = DecoderBlock(128, 64, ns[1], remat=rm, dtype=dty)(jnp.concatenate([d4, r3], -1), train)
+        out3 = SideoutBlock(64, self.num_classes, ns[1], remat=rm, dtype=dty)(d3, train)
 
-        r2 = RCG(num_slices=ns[0], remat=rm)(out3, c1, e2, train)
-        d2 = DecoderBlock(128, 64, ns[0], remat=rm)(jnp.concatenate([d3, r2], -1), train)
-        out2 = SideoutBlock(64, self.num_classes, ns[0], remat=rm)(d2, train)
+        r2 = RCG(num_slices=ns[0], remat=rm, dtype=dty)(out3, c1, e2, train)
+        d2 = DecoderBlock(128, 64, ns[0], remat=rm, dtype=dty)(jnp.concatenate([d3, r2], -1), train)
+        out2 = SideoutBlock(64, self.num_classes, ns[0], remat=rm, dtype=dty)(d2, train)
 
         # sum of upsampled logits (MMUNet.py:577)
         total = sum(

@@ -163,7 +163,6 @@ def _bwd_kernel(
     # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
     b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
     _, h = _hillis_steele_fwd(a, b_folded)
-    h_prev = jnp.concatenate([h_in, h[:, :, :-1]], axis=2)
 
     # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
     # boundary comes from the previously processed (later) chunk's first decay;
@@ -180,7 +179,9 @@ def _bwd_kernel(
     af_ref[...] = a[:, :, :1]
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
-    gah = g * a * h_prev  # (D_blk, N, T)
+    # a*h_prev == h - b_folded (h = a*h_prev + b_folded): saves the h_prev
+    # concat and one full-size multiply
+    gah = g * (h - b_folded)  # (D_blk, N, T)
 
     du_ref[0] = (dt * gB).astype(du_ref.dtype)
     ddt_ref[0] = (
@@ -258,7 +259,6 @@ def _bwd_kernel_fused(
     b = dtu[:, None, :] * Bv[None, :, :]
     b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
     _, h = _hillis_steele_fwd(a, b_folded)
-    h_prev = jnp.concatenate([h_in, h[:, :, :-1]], axis=2)
 
     # gate epilogue gradients
     z = z_ref[0].astype(jnp.float32)
@@ -279,7 +279,7 @@ def _bwd_kernel_fused(
     af_ref[...] = a[:, :, :1]
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)
-    gah = g * a * h_prev
+    gah = g * (h - b_folded)  # == g*a*h_prev without the h_prev concat
 
     du_ref[0] = (dt * gB + dy * Dv).astype(du_ref.dtype)
     ddt_eff = jnp.sum(gah * A[:, :, None], axis=1) + u * gB

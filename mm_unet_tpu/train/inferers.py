@@ -3,8 +3,12 @@
 `/root/reference/train.py:180-181,90`.
 
 TPU-first: window starts are static Python ints (shapes are static under
-jit), windows are batched through the model in fixed-size groups, and the
-stitch is a sum/count canvas — the whole thing jits as one program.
+jit), windows are batched through the model in fixed-size groups via
+`lax.map`, the count canvas is a trace-time numpy constant, and — when the
+predictor exposes its parameters (`trainer.Predictor`) — the WHOLE pipeline
+(window extraction -> grouped forward -> stitch) compiles as ONE program
+with the weights as traced arguments, so changing weights never retraces
+and there is exactly one device dispatch per image batch.
 """
 
 from __future__ import annotations
@@ -14,8 +18,11 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
+
+_PIPELINE_CACHE: dict = {}
 
 
 def _dense_starts(img: int, roi: int, interval: int) -> list[int]:
@@ -37,6 +44,72 @@ def _gaussian_importance(rh: int, rw: int, sigma_scale: float = 0.125) -> jnp.nd
     return jnp.maximum(m, jnp.max(m) * 1e-3)[None, None]
 
 
+def _make_pipeline(apply_fn, has_bs, shape, dtype, roi_size, overlap,
+                   sw_batch_size, mode):
+    """Build the fully-jitted window->forward->stitch program for one input
+    geometry. Weights are traced args; window starts and the blend-count
+    canvas are trace-time constants."""
+    b, c, h, w = shape
+    rh, rw = roi_size
+    pad_h, pad_w = max(rh - h, 0), max(rw - w, 0)
+    hp, wp = h + pad_h, w + pad_w
+    ih = max(int(rh * (1 - overlap)), 1)
+    iw = max(int(rw * (1 - overlap)), 1)
+    starts = [(y, x) for y in _dense_starts(hp, rh, ih) for x in _dense_starts(wp, rw, iw)]
+    n_win = len(starts)
+    total = n_win * b
+    group = min(max(sw_batch_size, b), total)
+    n_groups = -(-total // group)
+    padded_total = n_groups * group
+
+    if mode == "gaussian":
+        one = _gaussian_importance(rh, rw)
+    else:
+        one = jnp.ones((1, 1, rh, rw), jnp.float32)
+    count = np.zeros((1, 1, hp, wp), np.float32)
+    one_np = np.asarray(one)
+    for y, x in starts:
+        count[:, :, y : y + rh, x : x + rw] += one_np
+    inv_count = jnp.asarray(1.0 / count)
+
+    def pipeline(params, batch_stats, inputs):
+        if pad_h or pad_w:
+            inputs = jnp.pad(
+                inputs,
+                ((0, 0), (0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                 (pad_w // 2, pad_w - pad_w // 2)),
+            )
+        wins = jnp.stack(
+            [jax.lax.dynamic_slice(inputs, (0, 0, y, x), (b, c, rh, rw)) for y, x in starts]
+        ).reshape(total, c, rh, rw)
+
+        def fwd(g):
+            variables = {"params": params}
+            if has_bs:
+                variables["batch_stats"] = batch_stats
+            return apply_fn(variables, g, train=False)
+
+        if n_groups == 1:
+            preds = fwd(wins)
+        else:
+            wins = jnp.pad(wins, ((0, padded_total - total), (0, 0), (0, 0), (0, 0)))
+            preds = jax.lax.map(fwd, wins.reshape(n_groups, group, c, rh, rw))
+            preds = preds.reshape(padded_total, -1, rh, rw)[:total]
+        k = preds.shape[1]
+        onec = one.astype(preds.dtype)
+        canvas = jnp.zeros((b, k, hp, wp), preds.dtype)
+        for idx, (y, x) in enumerate(starts):
+            win = jax.lax.dynamic_slice_in_dim(preds, idx * b, b, axis=0) * onec
+            patch = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (b, k, rh, rw)) + win
+            canvas = jax.lax.dynamic_update_slice(canvas, patch, (0, 0, y, x))
+        out = canvas * inv_count.astype(preds.dtype)
+        if pad_h or pad_w:
+            out = out[:, :, pad_h // 2 : pad_h // 2 + h, pad_w // 2 : pad_w // 2 + w]
+        return out
+
+    return jax.jit(pipeline)
+
+
 def sliding_window_inference(
     inputs: Array,
     roi_size: Sequence[int],
@@ -47,6 +120,19 @@ def sliding_window_inference(
 ) -> Array:
     """inputs: (B, C, H, W) NCHW. predictor maps (N, C, rh, rw) -> (N, K, rh, rw).
     Returns stitched (B, K, H, W) logits."""
+    if hasattr(predictor, "apply_fn"):  # trainer.Predictor: one-dispatch path
+        key = (
+            id(predictor.apply_fn), predictor.has_bs, inputs.shape,
+            str(inputs.dtype), tuple(roi_size), overlap, sw_batch_size, mode,
+        )
+        fn = _PIPELINE_CACHE.get(key)
+        if fn is None:
+            fn = _make_pipeline(
+                predictor.apply_fn, predictor.has_bs, inputs.shape,
+                inputs.dtype, tuple(roi_size), overlap, sw_batch_size, mode,
+            )
+            _PIPELINE_CACHE[key] = fn
+        return fn(predictor.params, predictor.batch_stats, inputs)
     b, c, h, w = inputs.shape
     rh, rw = roi_size
 

@@ -155,12 +155,24 @@ def eval_forward(apply_fn, params, batch_stats, images, has_batch_stats=True):
     return apply_fn(variables, images, train=False)
 
 
-def make_predictor(state: TrainState):
-    has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
+class Predictor:
+    """Callable predictor that also exposes (apply_fn, params, batch_stats)
+    so the sliding-window inferer can jit its whole pipeline ONCE with the
+    parameters as traced arguments (no retrace when weights change)."""
 
-    def predictor(windows):
+    def __init__(self, apply_fn, params, batch_stats, has_bs: bool):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.batch_stats = batch_stats
+        self.has_bs = has_bs
+
+    def __call__(self, windows):
         return eval_forward(
-            state.apply_fn, state.params, state.batch_stats, windows, has_batch_stats=has_bs
+            self.apply_fn, self.params, self.batch_stats, windows,
+            has_batch_stats=self.has_bs,
         )
 
-    return predictor
+
+def make_predictor(state: TrainState):
+    has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
+    return Predictor(state.apply_fn, state.params, state.batch_stats, has_bs)

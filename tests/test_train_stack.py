@@ -88,6 +88,32 @@ def test_sliding_window_exact_for_pointwise_model():
     np.testing.assert_allclose(np.asarray(stitched), np.asarray(direct), rtol=1e-5, atol=1e-6)
 
 
+def test_sliding_window_jitted_predictor_path_matches_legacy():
+    """trainer.Predictor takes the one-dispatch jitted pipeline; a UNet with
+    batch_stats on a multi-window input must match the legacy callable path."""
+    from mm_unet_tpu.models.unet import UNet
+    from mm_unet_tpu.train.trainer import Predictor
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 3, 48, 48)).astype(np.float32))
+    model = UNet(num_classes=1)
+    variables = model.init(jax.random.key(0), x[:, :, :32, :32])
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    has_bs = bool(jax.tree_util.tree_leaves(bs))
+
+    def legacy(win):
+        v = {"params": params}
+        if has_bs:
+            v["batch_stats"] = bs
+        return model.apply(v, win, train=False)
+
+    pred = Predictor(model.apply, params, bs, has_bs)
+    want = sliding_window_inference(x, (32, 32), legacy, overlap=0.5)
+    got = sliding_window_inference(x, (32, 32), pred, overlap=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_sliding_window_small_image_pads():
     x = np.ones((1, 3, 6, 6), np.float32)
     out = sliding_window_inference(jnp.asarray(x), (8, 8), lambda w: w[:, :1], overlap=0.5)
