@@ -165,27 +165,41 @@ class DataLoader:
 
     def _native_batch(self, idxs, epoch: int):
         """Threaded C++ batch prep (mm_unet_tpu.runtime) — the fast path for
-        single-class datasets without the LAB colour-exchange augmentation."""
+        single-class datasets. Covers flips, CutMix (same-size donors),
+        colour jitter, gaussian blur, random-patch and resized-crop; only the
+        LAB colour exchange and multi-class EDD masks fall back to numpy."""
         from mm_unet_tpu import runtime
 
-        if (
-            runtime.get_lib() is None or self.color_exchange or self.cutmix
-            or self.patch_size or self.resized_crop or self.color_jitter
-            or self.gaussian_blur
-        ):
+        if runtime.get_lib() is None or self.color_exchange:
             return None
         if any(self.ds.labels[j].ndim != 2 for j in idxs):
             return None
         images = [self.ds.images[j] for j in idxs]
         labels = [self.ds.labels[j] for j in idxs]
+        donors_i = donors_l = None
+        if self.train and self.cutmix and len(self.ds) > 1:
+            djs = [int(self.rng.integers(len(self.ds))) for _ in idxs]
+            donors_i = [self.ds.images[j] for j in djs]
+            donors_l = [self.ds.labels[j] for j in djs]
+            # native CutMix copies donor rows in-place: donors must match
+            if any(
+                d.shape[:2] != im.shape[:2] or dl.ndim != 2
+                for d, dl, im in zip(donors_i, donors_l, images)
+            ):
+                return None
         if not self.train and self.pad_val:
             s = self.image_size
             images = [T.center_padding(im, s, s) for im in images]
             labels = [T.center_padding(lb, s, s) for lb in labels]
+        out_size = self.patch_size if (self.train and self.patch_size) else self.image_size
         img, lbl = runtime.prepare_batch(
-            images, labels, np.asarray(idxs), self.image_size,
+            images, labels, np.asarray(idxs), out_size,
             self.mean, self.std, seed=int(self.rng.integers(2**31)) if self.train else 0,
             epoch=epoch, train=self.train,
+            cutmix_donor_images=donors_i, cutmix_donor_labels=donors_l,
+            color_jitter=self.color_jitter, gaussian_blur=self.gaussian_blur,
+            resized_crop=self.resized_crop,
+            patch=self.patch_size if self.train else 0,
         )
         return img, lbl
 

@@ -48,7 +48,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
     lib.mmu_version.restype = ctypes.c_int
-    if lib.mmu_version() != 1:
+    if lib.mmu_version() != 2:
         return None
     _lib = lib
     return lib
@@ -94,6 +94,10 @@ def prepare_batch(
     train: bool,
     cutmix_donor_images: Optional[list[np.ndarray]] = None,
     cutmix_donor_labels: Optional[list[np.ndarray]] = None,
+    color_jitter: bool = False,
+    gaussian_blur: bool = False,
+    resized_crop: bool = False,
+    patch: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Threaded native batch prep. images[i]: (H,W,3) f32 [0,1]; labels[i]:
     (H,W) f32. Returns (B,3,S,S), (B,1,S,S)."""
@@ -119,11 +123,16 @@ def prepare_batch(
 
     out_img = np.empty((batch, 3, size, size), np.float32)
     out_lbl = np.empty((batch, 1, size, size), np.float32)
-    flags = (1 if train else 0) | (2 if use_cutmix else 0)
+    flags = (
+        (1 if train else 0) | (2 if use_cutmix else 0)
+        | (4 if color_jitter else 0) | (8 if gaussian_blur else 0)
+        | (16 if resized_crop else 0)
+    )
     lib.mmu_prepare_batch(
         img_ptrs, lbl_ptrs, hs, ws, id_arr,
         ctypes.c_int(batch), ctypes.c_int(size), mean_a, std_a,
         ctypes.c_uint64(seed), ctypes.c_uint64(epoch), ctypes.c_int(flags),
-        mix_arr, ctypes.c_int(batch), _f32p(out_img), _f32p(out_lbl),
+        ctypes.c_int(int(patch or 0)), mix_arr, ctypes.c_int(batch),
+        _f32p(out_img), _f32p(out_lbl),
     )
     return out_img, out_lbl

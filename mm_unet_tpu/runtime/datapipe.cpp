@@ -102,11 +102,99 @@ void flip_v(float* buf, int h, int w, int c) {
   }
 }
 
-struct Sample {
-  const float* image;  // (H, W, 3)
-  const float* label;  // (H, W)
-  int h, w;
-};
+// In-place colour jitter (brightness/contrast/saturation), the numpy
+// transforms.py::color_jitter semantics: contrast pivots on the global mean,
+// saturation on the per-pixel channel mean; clipped to [0, 1].
+void color_jitter(float* img, int h, int w, float b, float c, float s) {
+  size_t n = (size_t)h * w;
+  double mean = 0.0;
+  for (size_t p = 0; p < n * 3; ++p) {
+    img[p] *= b;
+    mean += img[p];
+  }
+  mean /= (double)(n * 3);
+  for (size_t p = 0; p < n; ++p) {
+    float* px = img + p * 3;
+    for (int k = 0; k < 3; ++k) px[k] = (px[k] - (float)mean) * c + (float)mean;
+    float gray = (px[0] + px[1] + px[2]) / 3.0f;
+    for (int k = 0; k < 3; ++k) {
+      float v = gray + (px[k] - gray) * s;
+      px[k] = std::min(std::max(v, 0.0f), 1.0f);
+    }
+  }
+}
+
+// Separable gaussian blur, reflect boundary (scipy.ndimage.gaussian_filter
+// defaults: mode='reflect', truncate=4.0).
+void gaussian_blur(float* img, int h, int w, int c, float sigma,
+                   std::vector<float>& tmp) {
+  int radius = (int)(4.0f * sigma + 0.5f);
+  if (radius < 1) radius = 1;
+  std::vector<float> k(2 * radius + 1);
+  float sum = 0.0f;
+  for (int i = -radius; i <= radius; ++i) {
+    k[i + radius] = std::exp(-0.5f * i * i / (sigma * sigma));
+    sum += k[i + radius];
+  }
+  for (auto& v : k) v /= sum;
+  auto reflect = [](int i, int n) {
+    while (i < 0 || i >= n) {
+      if (i < 0) i = -i - 1;
+      if (i >= n) i = 2 * n - i - 1;
+    }
+    return i;
+  };
+  tmp.assign((size_t)h * w * c, 0.0f);
+  for (int y = 0; y < h; ++y)  // horizontal
+    for (int x = 0; x < w; ++x)
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.0f;
+        for (int i = -radius; i <= radius; ++i)
+          acc += k[i + radius] * img[((size_t)y * w + reflect(x + i, w)) * c + ch];
+        tmp[((size_t)y * w + x) * c + ch] = acc;
+      }
+  for (int y = 0; y < h; ++y)  // vertical
+    for (int x = 0; x < w; ++x)
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.0f;
+        for (int i = -radius; i <= radius; ++i)
+          acc += k[i + radius] * tmp[((size_t)reflect(y + i, h) * w + x) * c + ch];
+        img[((size_t)y * w + x) * c + ch] = acc;
+      }
+}
+
+// Crop (y0, x0, ch, cw) out of (h, w), writing into dst vectors.
+void crop(const std::vector<float>& img, const std::vector<float>& lbl, int h,
+          int w, int y0, int x0, int ch, int cw, std::vector<float>& oi,
+          std::vector<float>& ol) {
+  oi.resize((size_t)ch * cw * 3);
+  ol.resize((size_t)ch * cw);
+  for (int y = 0; y < ch; ++y) {
+    std::memcpy(&oi[(size_t)y * cw * 3], &img[((size_t)(y0 + y) * w + x0) * 3],
+                (size_t)cw * 3 * sizeof(float));
+    std::memcpy(&ol[(size_t)y * cw], &lbl[(size_t)(y0 + y) * w + x0],
+                (size_t)cw * sizeof(float));
+  }
+}
+
+// Zero-pad to at least (th, tw), centred (transforms.py::center_padding).
+void center_pad(std::vector<float>& img, std::vector<float>& lbl, int& h,
+                int& w, int th, int tw) {
+  if (h >= th && w >= tw) return;
+  int nh = std::max(h, th), nw = std::max(w, tw);
+  int oy = (nh - h) / 2, ox = (nw - w) / 2;
+  std::vector<float> ni((size_t)nh * nw * 3, 0.0f), nl((size_t)nh * nw, 0.0f);
+  for (int y = 0; y < h; ++y) {
+    std::memcpy(&ni[((size_t)(y + oy) * nw + ox) * 3], &img[(size_t)y * w * 3],
+                (size_t)w * 3 * sizeof(float));
+    std::memcpy(&nl[(size_t)(y + oy) * nw + ox], &lbl[(size_t)y * w],
+                (size_t)w * sizeof(float));
+  }
+  img.swap(ni);
+  lbl.swap(nl);
+  h = nh;
+  w = nw;
+}
 
 }  // namespace
 
@@ -116,14 +204,18 @@ extern "C" {
 //   images[i], labels[i]: pointers to RAM-resident HWC/HW float32 source data
 //   hs/ws: per-sample source dims; idxs: dataset indices chosen by the host
 //   out_img: (B, 3, S, S) f32; out_lbl: (B, 1, S, S) f32
-//   flags: bit0 = train augmentations (flips), bit1 = cutmix
+//   flags: bit0 = train augmentations (flips), bit1 = cutmix,
+//          bit2 = color jitter (p=.5), bit3 = gaussian blur (p=.3),
+//          bit4 = random resized crop (p=.5)
+//   patch: if > 0, random patch crop of this size before the final resize
+//          (the loader passes size == patch in that case)
 // Deterministic per (seed, epoch, position). Parallel over batch samples.
 void mmu_prepare_batch(const float** images, const float** labels,
                        const int* hs, const int* ws, const int64_t* idxs,
                        int batch, int size, const float* mean,
                        const float* std_, uint64_t seed, uint64_t epoch,
-                       int flags, const int64_t* mix_idxs, int n_total,
-                       float* out_img, float* out_lbl) {
+                       int flags, int patch, const int64_t* mix_idxs,
+                       int n_total, float* out_img, float* out_lbl) {
   int n_threads = std::min((int)std::thread::hardware_concurrency(), batch);
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0);
@@ -131,7 +223,7 @@ void mmu_prepare_batch(const float** images, const float** labels,
   auto work = [&]() {
     std::vector<float> img_rs((size_t)size * size * 3);
     std::vector<float> lbl_rs((size_t)size * size);
-    std::vector<float> img_src, lbl_src;
+    std::vector<float> img_src, lbl_src, scratch, ci, cl;
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= batch) break;
@@ -172,6 +264,41 @@ void mmu_prepare_batch(const float** images, const float** labels,
         }
       }
 
+      if (flags & 1) {
+        if ((flags & 4) && rng.uniform() < 0.5) {  // colour jitter
+          float b = 1.0f + (float)(rng.uniform() * 0.4 - 0.2);
+          float c2 = 1.0f + (float)(rng.uniform() * 0.4 - 0.2);
+          float s2 = 1.0f + (float)(rng.uniform() * 0.4 - 0.2);
+          color_jitter(img_src.data(), h, w, b, c2, s2);
+        }
+        if ((flags & 8) && rng.uniform() < 0.3) {  // gaussian blur
+          float sigma = 0.1f + (float)(rng.uniform() * 1.9);
+          gaussian_blur(img_src.data(), h, w, 3, sigma, scratch);
+        }
+        if (patch > 0) {  // random patch crop (pad first if needed)
+          center_pad(img_src, lbl_src, h, w, patch, patch);
+          int y0 = (int)rng.randint(h - patch + 1);
+          int x0 = (int)rng.randint(w - patch + 1);
+          crop(img_src, lbl_src, h, w, y0, x0, patch, patch, ci, cl);
+          img_src.swap(ci);
+          lbl_src.swap(cl);
+          h = w = patch;
+        }
+        if ((flags & 16) && rng.uniform() < 0.5) {  // random resized crop
+          double area = (double)h * w * (0.5 + rng.uniform() * 0.5);
+          double ratio = 0.75 + rng.uniform() * (1.333 - 0.75);
+          int ch = std::min((int)std::lround(std::sqrt(area / ratio)), h);
+          int cw = std::min((int)std::lround(std::sqrt(area * ratio)), w);
+          int y0 = (int)rng.randint(h - ch + 1);
+          int x0 = (int)rng.randint(w - cw + 1);
+          crop(img_src, lbl_src, h, w, y0, x0, ch, cw, ci, cl);
+          img_src.swap(ci);
+          lbl_src.swap(cl);
+          h = ch;
+          w = cw;
+        }
+      }
+
       resize_bilinear(img_src.data(), h, w, 3, img_rs.data(), size, size);
       resize_nearest(lbl_src.data(), h, w, 1, lbl_rs.data(), size, size);
 
@@ -204,6 +331,6 @@ void mmu_resize_nearest(const float* src, int sh, int sw, int c, float* dst,
   resize_nearest(src, sh, sw, c, dst, dh, dw);
 }
 
-int mmu_version() { return 1; }
+int mmu_version() { return 2; }
 
 }  // extern "C"

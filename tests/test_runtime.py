@@ -67,3 +67,42 @@ def test_prepare_batch_train_deterministic(lib):
     np.testing.assert_array_equal(a_lbl, b_lbl)
     c_img, _ = runtime.prepare_batch(*args, seed=8, epoch=1, train=True)
     assert not np.array_equal(a_img, c_img)
+
+
+def test_prepare_batch_augmented_configs(lib):
+    """v2 native path: jitter/blur/patch/resized-crop/cutmix all run and
+    produce sane outputs (deterministic per seed)."""
+    rng = np.random.default_rng(5)
+    images = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(2)]
+    labels = [(rng.random((32, 32)) > 0.7).astype(np.float32) for _ in range(2)]
+    donors_i = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(2)]
+    donors_l = [(rng.random((32, 32)) > 0.7).astype(np.float32) for _ in range(2)]
+    mean, std = [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+    kw = dict(
+        mean=mean, std=std, seed=7, epoch=1, train=True,
+        cutmix_donor_images=donors_i, cutmix_donor_labels=donors_l,
+        color_jitter=True, gaussian_blur=True, resized_crop=True, patch=16,
+    )
+    img1, lbl1 = runtime.prepare_batch(images, labels, np.arange(2), 16, **kw)
+    img2, lbl2 = runtime.prepare_batch(images, labels, np.arange(2), 16, **kw)
+    assert img1.shape == (2, 3, 16, 16) and lbl1.shape == (2, 1, 16, 16)
+    np.testing.assert_array_equal(img1, img2)  # deterministic
+    np.testing.assert_array_equal(lbl1, lbl2)
+    assert np.isfinite(img1).all()
+    assert set(np.unique(lbl1)) <= {0.0, 1.0}
+
+
+def test_loader_native_path_used_with_augmentations(lib):
+    """The DataLoader keeps the native fast path under augmented configs."""
+    from mm_unet_tpu.data.loaders import DataLoader, make_synthetic
+
+    ds = make_synthetic(4, 32, seed=0)
+    loader = DataLoader(
+        ds, 2, 32, [0.485, 0.456, 0.406], [0.229, 0.224, 0.225], train=True,
+        seed=0, cutmix=True, color_jitter=True, gaussian_blur=True,
+        resized_crop=True, prefetch_depth=0,
+    )
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 3, 32, 32)
+    native = loader._native_batch(np.array([0, 1]), epoch=0)
+    assert native is not None  # fast path no longer bails on augmentation
