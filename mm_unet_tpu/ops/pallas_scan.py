@@ -45,6 +45,8 @@ Array = jax.Array
 
 DEFAULT_CHUNK = 256
 
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x*log2e); exp2 is cheaper on the VPU
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -116,11 +118,13 @@ def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_r
     Cv = C_ref[0, 0].astype(jnp.float32)  # (N, T)
     A = A_ref[...].astype(jnp.float32)  # (D_blk, N)
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])  # (D_blk, N, T)
+    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])  # (D_blk, N, T)
     b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
 
-    # fold the cross-chunk carry into b[0]: h_t = scan(a, b) with h_{-1}=0
-    b = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_ref[...], b[:, :, 1:]], axis=2)
+    # fold the cross-chunk carry into b[0] (masked add fuses; a concat
+    # materialises a full copy): h_t = scan(a, b) with h_{-1}=0
+    col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
+    b = b + jnp.where(col0, a * h_ref[...], 0.0)
     _, h = _hillis_steele_fwd(a, b)
     y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
     h_ref[...] = h[:, :, -1:]
@@ -156,21 +160,22 @@ def _bwd_kernel(
     dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
     h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
     dtu = dt * u  # (D_blk, T)
     b = dtu[:, None, :] * Bv[None, :, :]
 
     # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
-    b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+    b_folded = b + jnp.where(col == 0, a * h_in, 0.0)
     _, h = _hillis_steele_fwd(a, b_folded)
 
     # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
     # boundary comes from the previously processed (later) chunk's first decay;
     # the boundary term a_sh[T-1] * g_carry folds into ginit[T-1].
-    ginit = dy[:, None, :] * Cv[None, :, :]
+    T = b.shape[2]
     a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
-    ginit = jnp.concatenate(
-        [ginit[:, :, :-1], ginit[:, :, -1:] + a_sh[:, :, -1:] * g_ref[...]], axis=2
+    ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
+        col == T - 1, a_sh * g_ref[...], 0.0
     )
     _, g = _hillis_steele_rev(a_sh, ginit)
 
@@ -219,9 +224,10 @@ def _fwd_kernel_fused(
     Cv = C_ref[0, 0].astype(jnp.float32)
     A = A_ref[...].astype(jnp.float32)
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
     b = (dt * u)[:, None, :] * Bv[None, :, :]
-    b = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_ref[...], b[:, :, 1:]], axis=2)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
+    b = b + jnp.where(col0, a * h_ref[...], 0.0)
     _, h = _hillis_steele_fwd(a, b)
     y = jnp.sum(h * Cv[None, :, :], axis=1) + Dv_ref[...] * u
     z = z_ref[0].astype(jnp.float32)
@@ -254,10 +260,11 @@ def _bwd_kernel_fused(
     dout = dout_ref[0].astype(jnp.float32)
     h_in = st_ref[0]
 
-    a = jnp.exp(dt[:, None, :] * A[:, :, None])
+    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
     dtu = dt * u
     b = dtu[:, None, :] * Bv[None, :, :]
-    b_folded = jnp.concatenate([b[:, :, :1] + a[:, :, :1] * h_in, b[:, :, 1:]], axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+    b_folded = b + jnp.where(col == 0, a * h_in, 0.0)
     _, h = _hillis_steele_fwd(a, b_folded)
 
     # gate epilogue gradients
@@ -268,10 +275,10 @@ def _bwd_kernel_fused(
     dy = dout * silu
     dz_ref[0] = (dout * y_pre * (sz + silu * (1.0 - sz))).astype(dz_ref.dtype)
 
-    ginit = dy[:, None, :] * Cv[None, :, :]
+    T = b.shape[2]
     a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
-    ginit = jnp.concatenate(
-        [ginit[:, :, :-1], ginit[:, :, -1:] + a_sh[:, :, -1:] * g_ref[...]], axis=2
+    ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
+        col == T - 1, a_sh * g_ref[...], 0.0
     )
     _, g = _hillis_steele_rev(a_sh, ginit)
 
