@@ -5,12 +5,19 @@ TPU-first redesign of the reference CUDA kernels
 and `selective_scan_bwd_kernel.cuh`):
 
 - The recurrence `h_t = a_t h_{t-1} + b_t` is computed as a **chunked
-  Hillis–Steele (log-depth) associative scan along the lane axis**, directly
-  mirroring the CUDA design: the sequence is processed in chunks of `T` tokens
-  (CUDA `kChunkSize`, `selective_scan_fwd_kernel.cuh:131`), the running prefix
-  state is carried across chunks in VMEM scratch (CUDA carries it in shared
-  memory, `:95,240-258`), and per-chunk entry states are saved to HBM for the
-  backward pass (CUDA writes them to `x`, `:109,255-257`).
+  window-decay (log-depth) scan along the lane axis**: the sequence is
+  processed in chunks of `T` tokens (CUDA `kChunkSize`,
+  `selective_scan_fwd_kernel.cuh:131`), the running prefix state is carried
+  across chunks in VMEM scratch (CUDA carries it in shared memory,
+  `:95,240-258`), and per-chunk entry states are saved to HBM for the backward
+  pass (CUDA writes them to `x`, `:109,255-257`). Because the decay is
+  exponential with a rank-1 exponent (`a_t = exp(Δ_t·A)`), each
+  Hillis–Steele pass's window products are `exp2(A · window_sum(Δ))` with
+  the window sums built by progressive doubling on the 2-D Δ tile — so the
+  pair-scan's a-stream (half of all full-size lane rolls, which dominate
+  kernel time: measured 50.5 ms rolls-only vs 16.2 ms arith-only in a
+  50.4 ms kernel) reduces to rolls N× smaller. Measured ≥1.4× kernel
+  speedup at RCG shapes.
 - The backward pass re-processes chunks in **reverse grid order**, recomputes
   the intra-chunk forward states from the saved chunk-entry state, and runs a
   reverse (suffix) scan for the adjoint state — the same structure as CUDA's
@@ -43,7 +50,7 @@ from mm_unet_tpu.ops.selective_scan import _finalize, _prep_delta
 
 Array = jax.Array
 
-DEFAULT_CHUNK = 256
+DEFAULT_CHUNK = 512  # swept 128/256/512/1024 on v5e: 512 fastest fwd and fwd+bwd
 
 _LOG2E = 1.4426950408889634  # exp(x) == exp2(x*log2e); exp2 is cheaper on the VPU
 
@@ -52,49 +59,58 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _hillis_steele_fwd(a: Array, b: Array) -> tuple[Array, Array]:
-    """Inclusive prefix scan of (a, b) pairs along the lane axis (axis=2).
+# Window-sum masked to _BIG makes exp2(A2 * _BIG) == 0 for any A < 0, which
+# both kills the wrapped roll values and replaces full-size select masks.
+# Padded channels have A == 0 (exp2 -> 1) but also u == dt == 0, so their
+# wrapped contributions are exactly zero anyway.
+_BIG = 1e30
 
-    Combine: (aL, bL) . (aR, bR) = (aL*aR, bL*aR + bR). After the scan,
-    b[t] = h_t assuming h_{-1} = 0 (callers fold the cross-chunk carry into
-    b[0] beforehand). The returned a holds the prefix products only up to the
-    second-to-last step — the final a-update is skipped because no caller
-    consumes it (the b-combine of the last step uses the pre-update a).
+
+def _window_scan_fwd(dt: Array, A2: Array, b: Array) -> Array:
+    """Inclusive scan h_t = a_t h_{t-1} + b_t along lanes (axis=2) where the
+    decay is exponential with a rank-1 exponent: a_t = exp2(A2 * dt_t),
+    dt 2-D (D_blk, T), A2 (D_blk, N), b (D_blk, N, T).
+
+    Key TPU trick: the Hillis–Steele window products prod_{q=t-s+1..t} a_q
+    equal exp2(A2 * ws_s[t]) with ws_s[t] = sum_{q=t-s+1..t} dt_q, built by
+    progressive doubling (ws_{2s} = ws_s + roll(ws_s, s)) on the 2-D dt tile.
+    The classic pair-scan's a-stream — half of all full-size lane rolls,
+    which dominate kernel time (measured: rolls-only 50.5 ms vs arith-only
+    16.2 ms in a 50.4 ms kernel) — thus shrinks to rolls N x smaller.
+    Out-of-range windows get a _BIG sum -> decay 0, masking the wrapped roll
+    values with no full-size select. Window sums of positive dt are
+    cancellation-free (more accurate than cumsum differences).
     """
-    T = a.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+    T = b.shape[2]
+    col2 = jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
+    ws = dt
     s = 1
     while s < T:
-        # lane-rotate + masked identity fill: measurably faster than
-        # concatenation-based shifts on TPU (Mosaic lowers roll in-register)
-        mask = col >= s
-        a_prev = jnp.where(mask, pltpu.roll(a, s, axis=2), 1.0)
-        b_prev = jnp.where(mask, pltpu.roll(b, s, axis=2), 0.0)
-        b = a * b_prev + b
-        if s * 2 < T:  # final a-prefix is never used downstream
-            a = a * a_prev
-        s *= 2
-    return a, b
-
-
-def _hillis_steele_rev(a_sh: Array, g: Array) -> tuple[Array, Array]:
-    """Inclusive suffix scan: g[t] = sum_{r>=t} (prod_{q=t..r-1} a_sh[q]) g[r]
-    — the adjoint recurrence g_t = a_sh[t] * g_{t+1} + ginit_t. Callers fold
-    the cross-chunk boundary term into ginit[T-1] beforehand, so the final
-    suffix-product (aa) update is skipped (never consumed)."""
-    T = a_sh.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, a_sh.shape, 2)
-    aa = a_sh
-    s = 1
-    while s < T:
-        mask = col < T - s
-        g_next = jnp.where(mask, pltpu.roll(g, T - s, axis=2), 0.0)  # left-shift
-        g = g + aa * g_next
+        wm = jnp.where(col2 >= s, ws, _BIG)
+        b = jnp.exp2(wm[:, None, :] * A2[:, :, None]) * pltpu.roll(b, s, axis=2) + b
         if s * 2 < T:
-            aa_next = jnp.where(mask, pltpu.roll(aa, T - s, axis=2), 1.0)
-            aa = aa * aa_next
+            ws = ws + pltpu.roll(ws, s, axis=1)
         s *= 2
-    return aa, g
+    return b
+
+
+def _window_scan_rev(dt: Array, A2: Array, g: Array) -> Array:
+    """Suffix scan g_t = sum_{r>=t} (prod_{q=t+1..r} a_q) g_r — the adjoint
+    recurrence g_t = a_{t+1} g_{t+1} + ginit_t with the cross-chunk boundary
+    folded into ginit[T-1] by the caller. Suffix window sums
+    vs_s[t] = sum_{q=t+1..t+s} dt_q stay within the chunk and double as
+    vs_{2s} = vs_s + roll_left(vs_s, s)."""
+    T = g.shape[2]
+    col2 = jax.lax.broadcasted_iota(jnp.int32, dt.shape, 1)
+    vs = pltpu.roll(dt, T - 1, axis=1)  # vs_1[t] = dt[t+1]
+    s = 1
+    while s < T:
+        wm = jnp.where(col2 < T - s, vs, _BIG)
+        g = g + jnp.exp2(wm[:, None, :] * A2[:, :, None]) * pltpu.roll(g, T - s, axis=2)
+        if s * 2 < T:
+            vs = vs + pltpu.roll(vs, T - s, axis=1)
+        s *= 2
+    return g
 
 
 def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_ref):
@@ -116,16 +132,17 @@ def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_r
     dt = dt_ref[0].astype(jnp.float32)  # (D_blk, T)
     Bv = B_ref[0, 0].astype(jnp.float32)  # (N, T)
     Cv = C_ref[0, 0].astype(jnp.float32)  # (N, T)
-    A = A_ref[...].astype(jnp.float32)  # (D_blk, N)
+    A2 = A_ref[...].astype(jnp.float32) * _LOG2E  # (D_blk, N)
 
-    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])  # (D_blk, N, T)
     b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
 
     # fold the cross-chunk carry into b[0] (masked add fuses; a concat
-    # materialises a full copy): h_t = scan(a, b) with h_{-1}=0
+    # materialises a full copy): h_t = scan(a, b) with h_{-1}=0. Only the
+    # first token's decay a_0 is needed — a full-size a is never formed.
+    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # (D_blk, N, 1)
     col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
-    b = b + jnp.where(col0, a * h_ref[...], 0.0)
-    _, h = _hillis_steele_fwd(a, b)
+    b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
+    h = _window_scan_fwd(dt, A2, b)
     y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
     h_ref[...] = h[:, :, -1:]
 
@@ -160,28 +177,28 @@ def _bwd_kernel(
     dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
     h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
 
-    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
+    A2 = A * _LOG2E
     dtu = dt * u  # (D_blk, T)
     b = dtu[:, None, :] * Bv[None, :, :]
 
     # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
+    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # first-token decay
     col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
-    b_folded = b + jnp.where(col == 0, a * h_in, 0.0)
-    _, h = _hillis_steele_fwd(a, b_folded)
+    b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
+    h = _window_scan_fwd(dt, A2, b_folded)
 
     # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
-    # boundary comes from the previously processed (later) chunk's first decay;
-    # the boundary term a_sh[T-1] * g_carry folds into ginit[T-1].
+    # boundary is the previously processed (later) chunk's first decay
+    # (af_ref); the boundary term af * g_carry folds into ginit[T-1].
     T = b.shape[2]
-    a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
     ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
-        col == T - 1, a_sh * g_ref[...], 0.0
+        col == T - 1, af_ref[...] * g_ref[...], 0.0
     )
-    _, g = _hillis_steele_rev(a_sh, ginit)
+    g = _window_scan_rev(dt, A2, ginit)
 
     # Update carries for the next (earlier) chunk.
     g_ref[...] = g[:, :, :1]
-    af_ref[...] = a[:, :, :1]
+    af_ref[...] = a0
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
     # a*h_prev == h - b_folded (h = a*h_prev + b_folded): saves the h_prev
@@ -222,13 +239,13 @@ def _fwd_kernel_fused(
     dt = jax.nn.softplus(raw)
     Bv = B_ref[0, 0].astype(jnp.float32)
     Cv = C_ref[0, 0].astype(jnp.float32)
-    A = A_ref[...].astype(jnp.float32)
+    A2 = A_ref[...].astype(jnp.float32) * _LOG2E
 
-    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
     b = (dt * u)[:, None, :] * Bv[None, :, :]
+    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
     col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
-    b = b + jnp.where(col0, a * h_ref[...], 0.0)
-    _, h = _hillis_steele_fwd(a, b)
+    b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
+    h = _window_scan_fwd(dt, A2, b)
     y = jnp.sum(h * Cv[None, :, :], axis=1) + Dv_ref[...] * u
     z = z_ref[0].astype(jnp.float32)
     out_ref[0] = (y * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
@@ -260,12 +277,13 @@ def _bwd_kernel_fused(
     dout = dout_ref[0].astype(jnp.float32)
     h_in = st_ref[0]
 
-    a = jnp.exp2(dt[:, None, :] * (A * _LOG2E)[:, :, None])
+    A2 = A * _LOG2E
     dtu = dt * u
     b = dtu[:, None, :] * Bv[None, :, :]
+    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
     col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
-    b_folded = b + jnp.where(col == 0, a * h_in, 0.0)
-    _, h = _hillis_steele_fwd(a, b_folded)
+    b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
+    h = _window_scan_fwd(dt, A2, b_folded)
 
     # gate epilogue gradients
     z = z_ref[0].astype(jnp.float32)
@@ -276,14 +294,13 @@ def _bwd_kernel_fused(
     dz_ref[0] = (dout * y_pre * (sz + silu * (1.0 - sz))).astype(dz_ref.dtype)
 
     T = b.shape[2]
-    a_sh = jnp.concatenate([a[:, :, 1:], af_ref[...]], axis=2)
     ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
-        col == T - 1, a_sh * g_ref[...], 0.0
+        col == T - 1, af_ref[...] * g_ref[...], 0.0
     )
-    _, g = _hillis_steele_rev(a_sh, ginit)
+    g = _window_scan_rev(dt, A2, ginit)
 
     g_ref[...] = g[:, :, :1]
-    af_ref[...] = a[:, :, :1]
+    af_ref[...] = a0
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)
     gah = g * (h - b_folded)  # == g*a*h_prev without the h_prev concat
