@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mm_unet_tpu.ops.causal_conv1d import causal_conv1d
+from mm_unet_tpu.ops.mamba_fused import mamba_fused_scan
 from mm_unet_tpu.ops.selective_scan import selective_scan
 
 Array = jax.Array
@@ -124,6 +125,68 @@ class Mamba(nn.Module):
         d_skip = self.param(f"D{name}", nn.initializers.ones, (d_in,))
         return conv_w, conv_b, x_proj, dt_w, dt_b, a_log, d_skip
 
+    def _mega_scan(self, xz_dirs: list[Array], params: list, has_rev: bool):
+        """Fused-kernel path: projections + scan + gate in ONE Pallas kernel
+        (`ops/mamba_fused.py`), the reversed direction scanned right-to-left
+        in-kernel — no operand flips, no materialised dt/B/C streams.
+
+        xz_dirs order: forward[, slice-interleaved][, reverse] (reverse LAST,
+        in natural token order). Returns (y_nonrev (B, G', D, L), y_rev or
+        None), all f32 in each stream's own token domain.
+        """
+        cdtype = self.dtype or xz_dirs[0].dtype
+        bsz, _, L = xz_dirs[0].shape
+        g, d_in = len(xz_dirs), self.d_inner
+
+        xs, zs = [], []
+        for xz in xz_dirs:
+            x, z = jnp.split(xz, 2, axis=1)
+            xs.append(x)
+            zs.append(z)
+        x_all = jnp.concatenate(xs, axis=1)  # (B, G*D, L)
+        z_all = jnp.concatenate(zs, axis=1)
+
+        conv_w = jnp.concatenate([p[0] for p in params], axis=0).astype(cdtype)
+        conv_b = (
+            jnp.concatenate([p[1] for p in params], axis=0)
+            if params[0][1] is not None
+            else None
+        )
+        cb = (lambda s: None) if conv_b is None else (lambda s: conv_b[s])
+        if has_rev:
+            nc = (g - 1) * d_in
+            x_c = causal_conv1d(x_all[:, :nc], conv_w[:nc], cb(slice(None, nc)),
+                                activation="silu")
+            x_r = causal_conv1d(x_all[:, nc:], conv_w[nc:], cb(slice(nc, None)),
+                                activation="silu", reverse=True)
+        else:
+            x_c = causal_conv1d(x_all, conv_w, conv_b, activation="silu")
+            x_r = None
+
+        x_proj = jnp.stack([p[2] for p in params]).astype(cdtype)  # (G, R+2N, D)
+        dt_w = jnp.stack([p[3] for p in params]).astype(cdtype)  # (G, D, R)
+        dt_b = jnp.stack([p[4] for p in params]).astype(jnp.float32)  # (G, D)
+        A = -jnp.exp(jnp.stack([p[5] for p in params]).astype(jnp.float32))
+        d_skip = jnp.stack([p[6] for p in params]).astype(jnp.float32)
+
+        z4 = z_all.reshape(bsz, g, d_in, L)
+        if not has_rev:
+            y = mamba_fused_scan(
+                x_c.reshape(bsz, g, d_in, L), z4, x_proj, dt_w, dt_b, A, d_skip
+            )
+            return y, None
+        gn = g - 1
+        y_nr = mamba_fused_scan(
+            x_c.reshape(bsz, gn, d_in, L), z4[:, :gn],
+            x_proj[:gn], dt_w[:gn], dt_b[:gn], A[:gn], d_skip[:gn],
+        )
+        y_r = mamba_fused_scan(
+            x_r.reshape(bsz, 1, d_in, L), z4[:, gn:],
+            x_proj[gn:], dt_w[gn:], dt_b[gn:], A[gn:], d_skip[gn:],
+            reverse=True,
+        )
+        return y_nr, y_r[:, 0]
+
     def _fused_scan(self, xz_dirs: list[Array], params: list) -> Array:
         """All directions of `mamba_inner_fn_no_out_proj`
         (`selective_scan_interface.py:155-225`) fused into ONE depthwise conv,
@@ -193,42 +256,73 @@ class Mamba(nn.Module):
             in_b = self.param("in_proj_bias", nn.initializers.zeros, (2 * d_in,))
             xz = xz + in_b.astype(cdtype)[None, :, None]
 
-        dirs = [xz]
-        params = [self._dir_params("")]
-        if bt in ("v2", "v3"):
-            dirs.append(jnp.flip(xz, axis=-1))
-            params.append(self._dir_params("_b"))
-        if bt == "v3":
-            if seqlen % self.nslices != 0:
-                raise ValueError(
-                    f"v3 slice scan requires seqlen % nslices == 0, got {seqlen} % {self.nslices}"
-                )
-            ns = self.nslices
+        if bt == "v3" and seqlen % self.nslices != 0:
+            raise ValueError(
+                f"v3 slice scan requires seqlen % nslices == 0, got {seqlen} % {self.nslices}"
+            )
+
+        def interleave(v):
             # chunk along L into ns slices, stack, flatten: token (s, l) -> l*ns + s
             # (reference mamba_simple.py:245-247)
-            dirs.append(
-                xz.reshape(batch, 2 * d_in, ns, seqlen // ns)
+            ns = self.nslices
+            return (
+                v.reshape(batch, v.shape[1], ns, seqlen // ns)
                 .transpose(0, 1, 3, 2)
-                .reshape(batch, 2 * d_in, seqlen)
+                .reshape(batch, v.shape[1], seqlen)
             )
-            params.append(self._dir_params("_s"))
 
-        ys = self._fused_scan(dirs, params)  # (B, G, D_in, L)
-        o_1 = ys[:, 0]
-        o_2 = o_3 = None
-        out_dirs = o_1
-        if bt in ("v2", "v3"):
-            o_2 = ys[:, 1]
-            out_dirs = out_dirs + jnp.flip(o_2, axis=-1)
-        if bt == "v3":
-            o_3 = ys[:, 2]
+        def uninterleave(v):
             # inverse interleave (reference mamba_simple.py:263)
-            out_s = (
-                o_3.reshape(batch, d_in, seqlen // self.nslices, self.nslices)
+            ns = self.nslices
+            return (
+                v.reshape(batch, v.shape[1], seqlen // ns, ns)
                 .transpose(0, 1, 3, 2)
-                .reshape(batch, d_in, seqlen)
+                .reshape(batch, v.shape[1], seqlen)
             )
-            out_dirs = out_dirs + out_s
+
+        use_mega = self.scan_impl in (None, "pallas", "mega") and self.d_state % 8 == 0
+        o_2 = o_3 = None
+        if use_mega:
+            # direction order: forward[, slice][, reverse] — reverse LAST, fed
+            # unflipped (the fused kernel scans it right-to-left in place)
+            dirs = [xz]
+            params = [self._dir_params("")]
+            if bt == "v3":
+                dirs.append(interleave(xz))
+                params.append(self._dir_params("_s"))
+            if bt in ("v2", "v3"):
+                dirs.append(xz)
+                params.append(self._dir_params("_b"))
+            y_nr, y_rev = self._mega_scan(dirs, params, has_rev=bt in ("v2", "v3"))
+            o_1 = y_nr[:, 0]
+            out_dirs = o_1
+            if bt == "v3":
+                o_3 = y_nr[:, 1]
+                out_dirs = out_dirs + uninterleave(o_3)
+            if bt in ("v2", "v3"):
+                out_dirs = out_dirs + y_rev
+                # reference-domain (flipped) auxiliary return; XLA removes the
+                # flip when the caller drops it (most do)
+                o_2 = jnp.flip(y_rev, axis=-1)
+        else:
+            dirs = [xz]
+            params = [self._dir_params("")]
+            if bt in ("v2", "v3"):
+                dirs.append(jnp.flip(xz, axis=-1))
+                params.append(self._dir_params("_b"))
+            if bt == "v3":
+                dirs.append(interleave(xz))
+                params.append(self._dir_params("_s"))
+
+            ys = self._fused_scan(dirs, params)  # (B, G, D_in, L)
+            o_1 = ys[:, 0]
+            out_dirs = o_1
+            if bt in ("v2", "v3"):
+                o_2 = ys[:, 1]
+                out_dirs = out_dirs + jnp.flip(o_2, axis=-1)
+            if bt == "v3":
+                o_3 = ys[:, 2]
+                out_dirs = out_dirs + uninterleave(o_3)
 
         out_proj = self.param(
             "out_proj_weight", nn.initializers.lecun_normal(), (self.d_model, d_in)

@@ -26,6 +26,7 @@ def causal_conv1d(
     weight: Array,
     bias: Optional[Array] = None,
     activation: Optional[str] = None,
+    reverse: bool = False,
 ) -> Array:
     """Causal depthwise conv.
 
@@ -34,6 +35,10 @@ def causal_conv1d(
       weight: (D, W) depthwise filters (reference layout `d 1 w -> d w`).
       bias: optional (D,).
       activation: None or "silu"/"swish".
+      reverse: anti-causal variant — equivalent to
+        `flip(causal_conv1d(flip(x)))` without materialising the flips; used
+        for the backward direction of bi-Mamba so its operand stream stays in
+        natural token order end-to-end.
 
     Returns: (B, D, L), same dtype as x.
     """
@@ -51,15 +56,18 @@ def causal_conv1d(
         L = xf.shape[-1]
         out = xf * wf[None, :, -1:]
         for j in range(w - 1):
-            shift = w - 1 - j  # tap j multiplies x[t - shift]
-            xs = jnp.pad(xf[:, :, : L - shift], ((0, 0), (0, 0), (shift, 0)))
+            shift = w - 1 - j  # tap j multiplies x[t -+ shift]
+            if reverse:
+                xs = jnp.pad(xf[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+            else:
+                xs = jnp.pad(xf[:, :, : L - shift], ((0, 0), (0, 0), (shift, 0)))
             out = out + xs * wf[None, :, j : j + 1]
     else:
         out = jax.lax.conv_general_dilated(
             xf,
-            wf[:, None, :],  # (O=D, I/g=1, W)
+            wf[:, None, ::-1] if reverse else wf[:, None, :],  # (O=D, I/g=1, W)
             window_strides=(1,),
-            padding=[(w - 1, 0)],
+            padding=[(0, w - 1)] if reverse else [(w - 1, 0)],
             feature_group_count=d,
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
