@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 REFERENCE_A100_IMG_PER_SEC = 12.0  # estimated reference A100 train throughput
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e datasheet
 
-BATCH = 4
+BATCH = 8  # best measured operating point (sweep: b4 13.0, b8 14.1, b16 OOM)
 SIZE = 512
 WARMUP_STEPS = 2
 MEASURE_STEPS = 8

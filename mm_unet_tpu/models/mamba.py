@@ -280,7 +280,13 @@ class Mamba(nn.Module):
                 .reshape(batch, v.shape[1], seqlen)
             )
 
-        use_mega = self.scan_impl in (None, "pallas", "mega") and self.d_state % 8 == 0
+        # The fused megakernel is a TPU win; in CPU interpret mode it only
+        # bloats the jaxpr (the 8-device SPMD dryrun compile went from ~9 min
+        # to >50 min with it), so auto-enable on TPU only.
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        use_mega = self.scan_impl == "mega" or (
+            self.scan_impl in (None, "pallas") and on_tpu and self.d_state % 8 == 0
+        )
         o_2 = o_3 = None
         if use_mega:
             # direction order: forward[, slice][, reverse] — reverse LAST, fed

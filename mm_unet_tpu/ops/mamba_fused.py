@@ -282,13 +282,13 @@ def _mega_bwd_kernel(
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _mega_core(T: int, Dp: int, SB: int, N: int, rBp: int, reverse: bool,
-               interpret: bool):
+def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
+               reverse: bool, interpret: bool):
     """core(x (B,G,Dp,Lp) bf16, z, xp (G,rBp+2N,Dp), dtw (G,Dp,rBp),
     dtb (G,Dp,1), A (G,Dp,N), Dv (G,Dp,1)) -> out (B,G,Dp,Lp) f32."""
 
-    kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SB, N=N)
-    kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SB, N=N)
+    kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N)
+    kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N)
 
     def _fwd_call(x, z, xp, dtw, dtb, A, Dv):
         Bsz, G, _, Lp = x.shape
@@ -420,12 +420,17 @@ def mamba_fused_scan(
     assert N % 8 == 0, "d_state must be a multiple of 8 for the fused kernel"
 
     Dp = _round_up(D, 8)
-    # sub-block of the scan working set; 16 keeps the bwd kernel's live VMEM
-    # (b/h/g/ginit/gah tiles + projection tiles) under the 16 MB scoped limit
-    # at Dp=128, T=512
-    SB = Dp if Dp <= 32 else min(16, Dp)
-    while Dp % SB:
-        SB += 8
+
+    def pick_sb(cap):
+        sb = Dp if Dp <= 32 else min(cap, Dp)
+        while Dp % sb:
+            sb += 8
+        return sb
+
+    # scan-loop sub-block: fwd fits at 32; the bwd kernel's larger live set
+    # (b/h/g/ginit/gah tiles + projection tiles) needs 16 to stay under the
+    # 16 MB scoped-VMEM limit at Dp=128, T=512
+    SBf, SBb = pick_sb(32), pick_sb(16)
     rBp = _round_up(R, 8)
     T = 1024 if Dp <= 24 else 512
     Lp = _round_up(L, T)
@@ -446,6 +451,6 @@ def mamba_fused_scan(
     A_pad = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, pad_d), (0, 0)))
     D_pad = jnp.pad(D_skip.astype(jnp.float32), ((0, 0), (0, pad_d)))[..., None]
 
-    core = _mega_core(T, Dp, SB, N, rBp, bool(reverse), bool(interpret))
+    core = _mega_core(T, Dp, SBf, SBb, N, rBp, bool(reverse), bool(interpret))
     out = core(pad_x(x_conv), pad_x(z), xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
     return out[:, :, :D, :L]

@@ -106,3 +106,24 @@ def test_mamba_dt_bias_init_range():
     dt = jax.nn.softplus(params["dt_proj_bias"])
     assert float(dt.min()) >= 1e-4 * 0.99
     assert float(dt.max()) <= 0.1 * 1.01
+
+
+@pytest.mark.parametrize("bt", ["v3", "v2", "none"])
+def test_mamba_mega_path_matches_legacy(bt):
+    """The fused megakernel module path (scan_impl='mega', forced on CPU)
+    must match the legacy fused-einsum path parameter-for-parameter."""
+    kw = dict(d_model=4, nslices=4, bimamba_type=bt)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 4))
+    m_legacy = Mamba(scan_impl="assoc", **kw)
+    m_mega = Mamba(scan_impl="mega", **kw)
+    vs = jax.jit(m_legacy.init)(jax.random.key(1), x)
+    out_l = jax.jit(m_legacy.apply)(vs, x)
+    out_m = jax.jit(m_mega.apply)(vs, x)
+    fl, _ = jax.tree_util.tree_flatten(out_l)
+    fm, tm = jax.tree_util.tree_flatten(out_m)
+    assert len(fl) == len(fm)
+    for a, b in zip(fl, fm):
+        if a is None or b is None:
+            assert a is b
+            continue
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)

@@ -1,0 +1,77 @@
+"""Parity tests for the fused Mamba-inner kernel (`ops/mamba_fused.py`):
+values and ALL gradients vs the unfused composition (projections via einsum +
+golden selective scan + gate), forward and reversed directions.
+
+Mirrors the reference's fused-vs-unfused test
+(`/root/reference/requirements/Mamba/mamba/tests/ops/test_selective_scan.py::test_mamba_inner_fn`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm_unet_tpu.ops.mamba_fused import mamba_fused_scan
+from mm_unet_tpu.ops.selective_scan import selective_scan_ref
+
+
+def _ref_path(x_conv, z, x_proj, dt_w, dt_b, A, D_skip, reverse):
+    B, G, D, L = x_conv.shape
+    outs = []
+    for g in range(G):
+        xg, zg = x_conv[:, g], z[:, g]
+        if reverse:
+            xg, zg = jnp.flip(xg, axis=-1), jnp.flip(zg, axis=-1)
+        xdbl = jnp.einsum("bdl,ed->bel", xg, x_proj[g])
+        R, N = dt_w.shape[2], A.shape[2]
+        dt = jnp.einsum("brl,dr->bdl", xdbl[:, :R], dt_w[g])
+        y = selective_scan_ref(
+            xg, dt, A[g], xdbl[:, R : R + N], xdbl[:, R + N :],
+            D=D_skip[g], z=zg, delta_bias=dt_b[g], delta_softplus=True,
+        )
+        outs.append(jnp.flip(y, axis=-1) if reverse else y)
+    return jnp.stack(outs, axis=1)
+
+
+def _make(D, L, G, seed=0):
+    rng = np.random.default_rng(seed)
+    N, R, B = 16, max(1, D // 32), 2
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    return (
+        f(B, G, D, L) * 0.5, f(B, G, D, L), f(G, R + 2 * N, D) * (D ** -0.5),
+        f(G, D, R) * 0.3, f(G, D) * 0.1, -jnp.exp(f(G, D, N) * 0.5), f(G, D),
+    )
+
+
+@pytest.mark.parametrize("D,L,G,reverse", [
+    (16, 96, 1, False),
+    (16, 96, 1, True),
+    pytest.param(40, 200, 3, False, marks=pytest.mark.slow),
+    pytest.param(40, 200, 2, True, marks=pytest.mark.slow),
+])
+def test_mega_matches_unfused(D, L, G, reverse):
+    args = _make(D, L, G)
+    got = mamba_fused_scan(*args, reverse=reverse)
+    want = _ref_path(*args, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(got.shape), jnp.float32)
+    gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse) * w),
+                  argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
+                  argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x_conv", "z", "x_proj", "dt_w", "dt_b", "A", "D"], gm, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=5e-3, atol=5e-3,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_mega_bf16_streams():
+    """bf16 inputs follow the production MM_Net configuration."""
+    args = _make(24, 128, 2, seed=3)
+    bf = [a.astype(jnp.bfloat16) for a in args[:2]] + list(args[2:])
+    got = mamba_fused_scan(*bf)
+    want = _ref_path(*[a.astype(jnp.float32) for a in bf], reverse=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2)
