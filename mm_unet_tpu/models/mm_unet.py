@@ -32,7 +32,6 @@ import numpy as np
 from flax import linen as nn
 
 from mm_unet_tpu.models.layers import (
-    deform_sample,
     grid_sample_bilinear_nhwc,
     nchw_to_nhwc,
     nhwc_to_nchw,
@@ -108,12 +107,9 @@ class MMConv(nn.Module):
             while the scan's own chunk-state checkpointing stays untouched."""
             if self.morph == 0:
                 # fast path: x taps are integer column shifts (clamped), so
-                # sampling reduces to per-tap column shift + row interpolation
-                deformed = deform_sample(x, y, [j - center for j in range(k)])
-                out = nn.Conv(
-                    self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
-                    name="dsc_conv_x",
-                )(deformed)
+                # sampling reduces to per-tap column shift + row interpolation;
+                # the (k,1)-stride-k conv is fused into the tap loop
+                out = _TapConv(self.out_channels, k, name="dsc_conv_x")(x, y)
             else:
                 # generic grid_sample (clamp + rescale to [-1,1], MMUNet.py:229-242)
                 y_map = y.transpose(0, 1, 3, 2).reshape(b, h * k, w)
@@ -135,6 +131,71 @@ class MMConv(nn.Module):
 def _mmconv(out_ch, k, ns, name=None, remat=False, dtype=None):
     return MMConv(out_channels=out_ch, kernel_size=k, num_slices=ns, name=name,
                   remat=remat, dtype=dtype)
+
+
+class _TapConv(nn.Module):
+    """Fused morph-0 deform-sample + (k,1)-stride-k conv.
+
+    The reference samples a (B, H*K, W, C) deformed tensor and immediately
+    convolves it with a (k,1) kernel at stride (k,1) (`MMUNet.py:218-227,
+    245-250`) — i.e. the conv is exactly a per-tap weighted sum. Fusing the
+    channel projection into the tap loop means the tap-interleaved tensor
+    never materialises (its stack/relayout copies were ~3% of the round-2
+    train step). Parameter tree matches `nn.Conv(features, (k,1))` (kernel
+    (k,1,C,F) + bias) so checkpoints are interchangeable.
+    """
+
+    features: int
+    k: int
+
+    @nn.compact
+    def __call__(self, feat: Array, y_coords: Array) -> Array:
+        b, h, w, c = feat.shape
+        k = self.k
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, 1, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x_shifts = [j - k // 2 for j in range(k)]
+
+        if h > 256:
+            # tall maps: the (H x H) 2-hot matrix would dominate — gather path
+            from mm_unet_tpu.models.layers import deform_sample_rows
+
+            deformed = deform_sample_rows(feat, y_coords, x_shifts)
+            out = jax.lax.conv_general_dilated(
+                deformed, kernel, window_strides=(k, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + bias
+
+        kb = kernel.astype(feat.dtype)
+        yc = jnp.clip(y_coords, 0, h - 1).astype(feat.dtype)
+        src = jnp.arange(h, dtype=feat.dtype)
+        # bilinear hat: 2-hot row-interpolation weights (see
+        # layers.deform_sample_rows_matmul)
+        m = jnp.maximum(
+            0.0, 1.0 - jnp.abs(src[None, None, None, None, :] - yc[..., None])
+        )
+        acc = None
+        for j, dx in enumerate(x_shifts):
+            if dx == 0:
+                xs = feat
+            elif dx > 0:
+                xs = jnp.concatenate(
+                    [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], dx, axis=2)], axis=2
+                )
+            else:
+                xs = jnp.concatenate(
+                    [jnp.repeat(feat[:, :, :1], -dx, axis=2), feat[:, :, :dx]], axis=2
+                )
+            tap = jnp.einsum("bhws,bswc->bhwc", m[:, :, :, j], xs)
+            prj = jnp.einsum(
+                "bhwc,cf->bhwf", tap, kb[j, 0],
+                preferred_element_type=jnp.float32,
+            )
+            acc = prj if acc is None else acc + prj
+        return (acc + bias).astype(feat.dtype)
 
 
 class CBAM(nn.Module):

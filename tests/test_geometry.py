@@ -1,6 +1,7 @@
 """Geometry op tests: grid_sample vs torch (CPU) golden; flatten round-trips;
 offset accumulation vs the reference's iterative loop semantics."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -94,3 +95,24 @@ def test_deform_sample_rows_matches_grid_sample():
     grid = np.stack([x_s, y_s], axis=-1)
     want = grid_sample_bilinear_nhwc(jnp.asarray(feat), jnp.asarray(grid))
     np.testing.assert_allclose(np.asarray(fast), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_tapconv_matches_deform_sample_plus_conv():
+    """The fused _TapConv (morph-0 sample + (k,1)-stride-k conv in one tap
+    loop) must equal the explicit deformed-tensor + nn.Conv composition."""
+    from mm_unet_tpu.models.mm_unet import _TapConv
+    from mm_unet_tpu.models.layers import deform_sample
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, K, F = 2, 12, 10, 8, 3, 16
+    feat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, H, (B, H, W, K)), jnp.float32)
+    tc = _TapConv(F, K)
+    vs = tc.init(jax.random.key(0), feat, y)
+    got = tc.apply(vs, feat, y)
+    deformed = deform_sample(feat, y, [j - K // 2 for j in range(K)])
+    want = jax.lax.conv_general_dilated(
+        deformed, vs["params"]["kernel"], window_strides=(K, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + vs["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
