@@ -453,7 +453,11 @@ def get_dataloader(config, dataset_choose: Optional[str] = None):
         if root and os.path.isdir(root):
             train_ds, val_ds = _load_vessel(config, name)
         else:
-            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            # MMU_SYNTH_N sizes the synthetic set (throughput runs need
+            # more than 2 steps/epoch to measure steady state)
+            train_ds = make_synthetic(
+                int(os.environ.get("MMU_SYNTH_N", max(bs * 2, 8))), size, seed
+            )
             val_ds = make_synthetic(2, size, seed + 1)
     elif name in ("CVC_ClinicDB", "Kvasir_SEG", "PolypGen", "Sun_seg"):
         if root and os.path.isdir(root):
@@ -464,13 +468,21 @@ def get_dataloader(config, dataset_choose: Optional[str] = None):
             else:
                 train_ds, val_ds = _load_polyp(config, name)
         else:
-            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            # MMU_SYNTH_N sizes the synthetic set (throughput runs need
+            # more than 2 steps/epoch to measure steady state)
+            train_ds = make_synthetic(
+                int(os.environ.get("MMU_SYNTH_N", max(bs * 2, 8))), size, seed
+            )
             val_ds = make_synthetic(2, size, seed + 1)
     elif name == "EDD_seg":
         if root and os.path.isdir(root):
             train_ds, val_ds = _load_edd(config)
         else:
-            train_ds = make_synthetic(max(bs * 2, 8), size, seed)
+            # MMU_SYNTH_N sizes the synthetic set (throughput runs need
+            # more than 2 steps/epoch to measure steady state)
+            train_ds = make_synthetic(
+                int(os.environ.get("MMU_SYNTH_N", max(bs * 2, 8))), size, seed
+            )
             val_ds = make_synthetic(2, size, seed + 1)
     else:
         train_ds = make_synthetic(max(bs * 2, 8), size, seed)
