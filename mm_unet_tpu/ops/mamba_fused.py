@@ -317,6 +317,9 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 jax.ShapeDtypeStruct((Bsz, G, nL, Dp, N), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((Dp, N, 1), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
             interpret=interpret,
         )(x, z, xp, dtw, dtb, A, Dv)
         return out, st
@@ -363,6 +366,13 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pltpu.VMEM((Dp, N, 1), jnp.float32),
                 pltpu.VMEM((Dp, N, 1), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                # b/g grid axes carry no state; only the chunk axis is
+                # sequential. The raised scoped-VMEM limit lets the bwd run
+                # 32-channel scan sub-blocks (17.6 MB live at Dp=128, T=512).
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=32 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(x, z, xp, dtw, dtb, A, Dv, st, dout)
         return outs
@@ -430,7 +440,7 @@ def mamba_fused_scan(
     # scan-loop sub-block: fwd fits at 32; the bwd kernel's larger live set
     # (b/h/g/ginit/gah tiles + projection tiles) needs 16 to stay under the
     # 16 MB scoped-VMEM limit at Dp=128, T=512
-    SBf, SBb = pick_sb(32), pick_sb(16)
+    SBf, SBb = pick_sb(32), pick_sb(32)
     rBp = _round_up(R, 8)
     T = 1024 if Dp <= 24 else 512
     Lp = _round_up(L, T)
