@@ -237,7 +237,11 @@ def _mega_bwd_kernel(
         af_ref[sl] = a_e
 
         gB = jnp.sum(g * Bv[None], axis=1)  # (SB, T)
-        gah = g * (h - b_folded)  # == g * a * h_neighbour
+        # g * a * h_neighbour via the PRE-fold b: h - b == a*h_neighbour at
+        # every position including the entry edge (h_e - b_e = a_e*h_in);
+        # b_folded would zero that boundary term and drop the cross-chunk
+        # ddt/dA/projection gradients.
+        gah = g * (h - b)
         du_l.append(dti * gB + dy * Dv[sl])
         ddt_eff = jnp.sum(gah * A[sl][:, :, None], axis=1) + ui * gB
         ddtr_l.append(ddt_eff * sig[sl])
@@ -437,9 +441,9 @@ def mamba_fused_scan(
             sb += 8
         return sb
 
-    # scan-loop sub-block: fwd fits at 32; the bwd kernel's larger live set
-    # (b/h/g/ginit/gah tiles + projection tiles) needs 16 to stay under the
-    # 16 MB scoped-VMEM limit at Dp=128, T=512
+    # scan-loop sub-block: 32 channels for both directions; the bwd kernel's
+    # larger live set (b/h/g/ginit/gah tiles + projection tiles) fits because
+    # vmem_limit_bytes is raised to 32 MB in its CompilerParams
     SBf, SBb = pick_sb(32), pick_sb(32)
     rBp = _round_up(R, 8)
     T = 1024 if Dp <= 24 else 512

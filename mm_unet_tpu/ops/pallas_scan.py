@@ -201,9 +201,11 @@ def _bwd_kernel(
     af_ref[...] = a0
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
-    # a*h_prev == h - b_folded (h = a*h_prev + b_folded): saves the h_prev
-    # concat and one full-size multiply
-    gah = g * (h - b_folded)  # (D_blk, N, T)
+    # a*h_prev == h - b with the PRE-fold b: at every interior position
+    # h_t = a_t h_{t-1} + b_t, and at the chunk entry h_0 - b_0 = a_0*h_in
+    # (the carry folded into b_folded[0]). Using b_folded here would zero the
+    # boundary term a_0*h_in and drop the cross-chunk ddt/dA gradient.
+    gah = g * (h - b)  # (D_blk, N, T)
 
     du_ref[0] = (dt * gB).astype(du_ref.dtype)
     ddt_ref[0] = (
@@ -303,7 +305,10 @@ def _bwd_kernel_fused(
     af_ref[...] = a0
 
     gB = jnp.sum(g * Bv[None, :, :], axis=1)
-    gah = g * (h - b_folded)  # == g*a*h_prev without the h_prev concat
+    # g*a*h_prev via the PRE-fold b: h - b == a*h_prev at every position
+    # including the chunk entry (h_0 - b_0 = a_0*h_in); b_folded would drop
+    # the cross-chunk boundary term from ddt/dA.
+    gah = g * (h - b)
 
     du_ref[0] = (dt * gB + dy * Dv).astype(du_ref.dtype)
     ddt_eff = jnp.sum(gah * A[:, :, None], axis=1) + u * gB

@@ -68,6 +68,32 @@ def test_mega_matches_unfused(D, L, G, reverse):
         )
 
 
+@pytest.mark.parametrize("D,L,reverse", [
+    (16, 1200, False),   # Dp<=24 -> T=1024: 2 chunks
+    pytest.param(40, 700, False, marks=pytest.mark.slow),  # T=512: 2 chunks
+    pytest.param(16, 1200, True, marks=pytest.mark.slow),
+])
+def test_mega_multichunk_gradients(D, L, reverse):
+    """Gradient parity when L genuinely spans kernel chunks (regression for
+    the dropped a_e*h_in chunk-boundary term in the megakernel backward)."""
+    args = _make(D, L, 1, seed=11)
+    got = mamba_fused_scan(*args, reverse=reverse)
+    want = _ref_path(*args, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+    w = jnp.asarray(np.random.default_rng(12).standard_normal(got.shape), jnp.float32)
+    gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse) * w),
+                  argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
+                  argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x_conv", "z", "x_proj", "dt_w", "dt_b", "A", "D"], gm, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=5e-3, atol=5e-3,
+            err_msg=f"grad {name}",
+        )
+
+
 def test_mega_bf16_streams():
     """bf16 inputs follow the production MM_Net configuration."""
     args = _make(24, 128, 2, seed=3)

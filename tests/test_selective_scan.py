@@ -127,6 +127,39 @@ def test_scan_gradients(L, impl):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("has_z", [True, False])
+def test_scan_gradients_multichunk(has_z):
+    """Gradient parity across REAL chunk boundaries (regression for the
+    dropped a0*h_in boundary term in ddt/dA).
+
+    dim=16 keeps D_blk > 8 so chunk=128 is NOT bumped to 1024: L=372 spans
+    3 chunks. Slow decay (small |A|, large dt) makes the cross-chunk carries
+    significant. has_z toggles the fused vs plain backward kernel.
+    """
+    rng = np.random.default_rng(7)
+    batch, dim, L, N = 2, 16, 372, 16
+    u = rng.standard_normal((batch, dim, L)).astype(np.float32)
+    delta = (1.0 + 0.3 * rng.standard_normal((batch, dim, L))).astype(np.float32)
+    A = (-np.exp(rng.standard_normal((dim, N)).astype(np.float32) * 0.3 - 2.0)).astype(np.float32)
+    B = rng.standard_normal((batch, N, L)).astype(np.float32)
+    C = rng.standard_normal((batch, N, L)).astype(np.float32)
+    D = rng.standard_normal(dim).astype(np.float32)
+    z = rng.standard_normal((batch, dim, L)).astype(np.float32) if has_z else None
+    bias = (0.1 * rng.standard_normal(dim)).astype(np.float32)
+
+    argnums = (0, 1, 2, 3, 4, 5, 6, 7) if has_z else (0, 1, 2, 3, 4, 5, 7)
+    names = (["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias"] if has_z
+             else ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"])
+    fn = lambda *a, **k: selective_scan_pallas(*a, **k, chunk=128)  # noqa: E731
+    gref = jax.jit(jax.grad(_loss(selective_scan_ref, None), argnums=argnums))(
+        u, delta, A, B, C, D, z, bias)
+    gout = jax.jit(jax.grad(_loss(fn, None), argnums=argnums))(
+        u, delta, A, B, C, D, z, bias)
+    for name, a, b in zip(names, gout, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+
+
 def test_scan_bf16_tolerances():
     rng = np.random.default_rng(5)
     u, delta, A, B, C, D, z, bias = _make_inputs(rng, 2, 8, 256, 16)
