@@ -283,9 +283,11 @@ class Mamba(nn.Module):
         # The fused megakernel is a TPU win; in CPU interpret mode it only
         # bloats the jaxpr (the 8-device SPMD dryrun compile went from ~9 min
         # to >50 min with it), so auto-enable on TPU only.
+        # An explicit scan_impl="pallas" is honored (A/B isolation knob);
+        # only the default (None) auto-upgrades to the megakernel.
         on_tpu = any(d.platform == "tpu" for d in jax.devices())
         use_mega = self.scan_impl == "mega" or (
-            self.scan_impl in (None, "pallas") and on_tpu and self.d_state % 8 == 0
+            self.scan_impl is None and on_tpu and self.d_state % 8 == 0
         )
         o_2 = o_3 = None
         if use_mega:
@@ -303,8 +305,9 @@ class Mamba(nn.Module):
             o_1 = y_nr[:, 0]
             out_dirs = o_1
             if bt == "v3":
-                o_3 = y_nr[:, 1]
-                out_dirs = out_dirs + uninterleave(o_3)
+                # o_3 is returned un-interleaved (reference mamba_simple.py:263-269)
+                o_3 = uninterleave(y_nr[:, 1])
+                out_dirs = out_dirs + o_3
             if bt in ("v2", "v3"):
                 out_dirs = out_dirs + y_rev
                 # reference-domain (flipped) auxiliary return; XLA removes the
@@ -327,8 +330,8 @@ class Mamba(nn.Module):
                 o_2 = ys[:, 1]
                 out_dirs = out_dirs + jnp.flip(o_2, axis=-1)
             if bt == "v3":
-                o_3 = ys[:, 2]
-                out_dirs = out_dirs + uninterleave(o_3)
+                o_3 = uninterleave(ys[:, 2])
+                out_dirs = out_dirs + o_3
 
         out_proj = self.param(
             "out_proj_weight", nn.initializers.lecun_normal(), (self.d_model, d_in)

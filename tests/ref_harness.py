@@ -1,0 +1,224 @@
+"""Harness for golden-parity tests against the ACTUAL reference source at
+/root/reference (torch CPU).
+
+The reference's fast paths call CUDA extension modules; its own pure-torch
+fallbacks (`selective_scan_ref`, `causal_conv1d_ref`,
+`/root/reference/requirements/Mamba/mamba/mamba_ssm/ops/selective_scan_interface.py:86-152`,
+`.../causal-conv1d/causal_conv1d/causal_conv1d_interface.py:49-65`) are exact
+references for those kernels. This module:
+
+1. injects empty stub modules for `selective_scan_cuda` / `causal_conv1d_cuda`
+   so the reference interface files import on CPU,
+2. loads the reference's OWN interface files by path and rebinds their fast
+   entry points to their own `*_ref` implementations,
+3. fabricates a `mamba_ssm` package whose `Mamba` is the reference's modified
+   module (`/root/reference/requirements/mamba_simple.py`, the file README.md
+   says to install over the stock one) running entirely on the pure-torch
+   refs, plus minimal `timm`/`torchvision` stubs,
+
+so reference model files (`src/UM_Net/MMUNet.py`, the zoo) import and run
+unmodified — the strongest Dice-parity proxy available without datasets.
+
+Everything is lazy and import-guarded: tests using this module must
+`pytest.importorskip("torch")` and check `HAVE_REFERENCE`.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+REF = "/root/reference"
+HAVE_REFERENCE = os.path.isdir(os.path.join(REF, "src"))
+
+_SS_PATH = os.path.join(
+    REF, "requirements/Mamba/mamba/mamba_ssm/ops/selective_scan_interface.py"
+)
+_CC_PATH = os.path.join(
+    REF, "requirements/Mamba/causal-conv1d/causal_conv1d/causal_conv1d_interface.py"
+)
+_MAMBA_PATH = os.path.join(REF, "requirements/mamba_simple.py")
+
+_installed = False
+
+
+def _load_by_path(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _stub_module(name: str, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def causal_conv1d_update_ref(x, conv_state, weight, bias=None, activation=None):
+    """Pure-torch mirror of the reference `_causal_conv1d_update_ref`
+    (`causal-conv1d/tests/test_causal_conv1d.py`): in-place rolling state."""
+    import torch
+    import torch.nn.functional as F
+
+    conv_state.copy_(torch.roll(conv_state, shifts=-1, dims=-1))
+    conv_state[:, :, -1] = x
+    out = torch.sum(conv_state * weight, dim=-1)
+    if bias is not None:
+        out = out + bias
+    return F.silu(out) if activation in ("silu", "swish") else out
+
+
+def install():
+    """Install the stub ecosystem; idempotent. Returns a namespace with the
+    loaded reference modules."""
+    global _installed
+    ns = types.SimpleNamespace()
+    if _installed:
+        ns.ss = sys.modules["_ref_selective_scan_interface"]
+        ns.cc = sys.modules["_ref_causal_conv1d_interface"]
+        ns.mamba_simple = sys.modules["_ref_mamba_simple"]
+        return ns
+
+    import torch  # noqa: F401
+    from einops import rearrange
+
+    # 1. fake CUDA extension modules (never called: fast fns are rebound)
+    _stub_module("selective_scan_cuda")
+    _stub_module("causal_conv1d_cuda")
+
+    # 2. reference causal-conv1d interface; package exposing its pure ref
+    cc = _load_by_path("_ref_causal_conv1d_interface", _CC_PATH)
+    _stub_module(
+        "causal_conv1d",
+        causal_conv1d_fn=cc.causal_conv1d_ref,
+        causal_conv1d_update=causal_conv1d_update_ref,
+    )
+
+    # 3. reference selective-scan interface, fast paths -> its own refs
+    ss = _load_by_path("_ref_selective_scan_interface", _SS_PATH)
+    ss.selective_scan_fn = ss.selective_scan_ref
+
+    def mamba_inner_fn_no_out_proj_ref(
+        xz, conv1d_weight, conv1d_bias, x_proj_weight, delta_proj_weight,
+        A, B=None, C=None, D=None, delta_bias=None, B_proj_bias=None,
+        C_proj_bias=None, delta_softplus=True,
+    ):
+        """`mamba_inner_ref` (selective_scan_interface.py:636-671) minus the
+        final out-proj linear — the pure-torch semantics of
+        `MambaInnerFnNoOutProj` (`:155-225`), returning (B, D, L)."""
+        import torch.nn.functional as F
+
+        L = xz.shape[-1]
+        delta_rank = delta_proj_weight.shape[1]
+        d_state = A.shape[-1]
+        x, z = xz.chunk(2, dim=1)
+        x = cc.causal_conv1d_ref(
+            x, rearrange(conv1d_weight, "d 1 w -> d w"), conv1d_bias, "silu"
+        )
+        x_dbl = F.linear(rearrange(x, "b d l -> (b l) d"), x_proj_weight)
+        delta = delta_proj_weight @ x_dbl[:, :delta_rank].t()
+        delta = rearrange(delta, "d (b l) -> b d l", l=L)
+        if B is None:
+            B = rearrange(
+                x_dbl[:, delta_rank : delta_rank + d_state],
+                "(b l) dstate -> b dstate l", l=L,
+            ).contiguous()
+        if C is None:
+            C = rearrange(
+                x_dbl[:, -d_state:], "(b l) dstate -> b dstate l", l=L
+            ).contiguous()
+        return ss.selective_scan_ref(
+            x, delta, A, B, C, D, z=z, delta_bias=delta_bias, delta_softplus=True
+        )
+
+    ss.mamba_inner_fn_no_out_proj = mamba_inner_fn_no_out_proj_ref
+
+    # 4. fabricate the mamba_ssm package tree the reference imports from
+    pkg = _stub_module("mamba_ssm")
+    ops = _stub_module("mamba_ssm.ops")
+    pkg.ops = ops
+    ssmod = _stub_module(
+        "mamba_ssm.ops.selective_scan_interface",
+        selective_scan_fn=ss.selective_scan_ref,
+        selective_scan_ref=ss.selective_scan_ref,
+        mamba_inner_fn=ss.mamba_inner_ref,
+        bimamba_inner_fn=ss.bimamba_inner_ref,
+        mamba_inner_fn_no_out_proj=mamba_inner_fn_no_out_proj_ref,
+    )
+    ops.selective_scan_interface = ssmod
+    # no mamba_ssm.ops.triton: mamba_simple's try/except assigns None (CPU path)
+
+    # 5. minimal stubs for unused heavyweight imports in reference model files
+    _stub_module("timm")
+    _stub_module("timm.models")
+    _stub_module("timm.models.layers", trunc_normal_=lambda *a, **k: None,
+                 DropPath=None, to_2tuple=lambda x: (x, x))
+    tv = _stub_module("torchvision")
+    tv.models = _stub_module("torchvision.models")
+
+    # 6. the installed (modified) Mamba module
+    mamba_simple = _load_by_path("_ref_mamba_simple", _MAMBA_PATH)
+    pkg.Mamba = mamba_simple.Mamba
+
+    _installed = True
+    ns.ss, ns.cc, ns.mamba_simple = ss, cc, mamba_simple
+    return ns
+
+
+def load_ref_model_file(relpath: str, name: str | None = None):
+    """Load a reference model file by path after installing the stubs.
+
+    Adds /root/reference to sys.path so intra-repo `from src...` imports work.
+    """
+    install()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    modname = name or ("_ref_" + relpath.replace("/", "_").removesuffix(".py"))
+    if modname in sys.modules:
+        return sys.modules[modname]
+    return _load_by_path(modname, os.path.join(REF, relpath))
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax weight conversion for the rebuilt Mamba
+# ---------------------------------------------------------------------------
+
+def convert_mamba_params(torch_mamba, dt_rank: int, dt_scale: float = 1.0,
+                         dt_init: str = "random"):
+    """Convert a reference `Mamba` module's live weights to the flax
+    `mm_unet_tpu.models.mamba.Mamba` parameter dict.
+
+    The flax module stores `dt_proj*_weight` as U(0, 2s) and subtracts
+    s = dt_rank^-0.5 * dt_scale at call time (mamba.py:119-120), so the torch
+    weight is stored shifted by +s.
+    """
+    import numpy as np
+
+    sd = {k: v.detach().cpu().numpy() for k, v in torch_mamba.state_dict().items()}
+    dt_shift = (dt_rank ** -0.5) * dt_scale if dt_init == "random" else 0.0
+    p = {"in_proj_weight": sd["in_proj.weight"],
+         "out_proj_weight": sd["out_proj.weight"]}
+    if "in_proj.bias" in sd:
+        p["in_proj_bias"] = sd["in_proj.bias"]
+    if "out_proj.bias" in sd:
+        p["out_proj_bias"] = sd["out_proj.bias"]
+    for suf in ("", "_b", "_s"):
+        if f"conv1d{suf}.weight" not in sd:
+            continue
+        p[f"conv1d{suf}_weight"] = np.squeeze(sd[f"conv1d{suf}.weight"], 1)
+        if f"conv1d{suf}.bias" in sd:
+            p[f"conv1d{suf}_bias"] = sd[f"conv1d{suf}.bias"]
+        p[f"x_proj{suf}_weight"] = sd[f"x_proj{suf}.weight"]
+        p[f"dt_proj{suf}_weight"] = sd[f"dt_proj{suf}.weight"] + dt_shift
+        p[f"dt_proj{suf}_bias"] = sd[f"dt_proj{suf}.bias"]
+        p[f"A{suf}_log"] = sd[f"A{suf}_log"]
+        p[f"D{suf}"] = sd[f"D{suf}"]
+    return p
