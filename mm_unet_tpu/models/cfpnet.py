@@ -108,9 +108,10 @@ class DownSamplingBlock(nn.Module):
 
 
 def _inject(x, ratio):
+    # torch AvgPool2d(3, 2, padding=1) default count_include_pad=True
     for _ in range(ratio):
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        count_include_pad=False)
+                        count_include_pad=True)
     return x
 
 

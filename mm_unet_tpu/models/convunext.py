@@ -13,13 +13,18 @@ from mm_unet_tpu.models.registry import register_model
 Array = jax.Array
 
 
+def _reflect_pad(x, p=3):
+    # reference convs use padding_mode='reflect' (ConvNeXt.py dwconv/in_conv)
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
-        h = nn.Conv(self.dim, (7, 7), padding="SAME", feature_group_count=self.dim)(x)
+        h = nn.Conv(self.dim, (7, 7), padding="VALID", feature_group_count=self.dim)(_reflect_pad(x))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.Dense(4 * self.dim)(h)
         h = nn.gelu(h)
@@ -82,7 +87,7 @@ class ConvUNeXt(nn.Module):
         x = nchw_to_nhwc(x)
         bc = self.base_c
         factor = 2 if self.bilinear else 1
-        h = nn.Conv(bc, (7, 7), padding="SAME")(x)
+        h = nn.Conv(bc, (7, 7), padding="VALID")(_reflect_pad(x))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.gelu(h)
         x1 = ConvNeXtBlock(bc)(h, train)

@@ -36,7 +36,10 @@ class Up(nn.Module):
     def __call__(self, x1, x2, train: bool = False):
         if self.bilinear:
             x1 = resize_bilinear_align_corners(x1, (x1.shape[1] * 2, x1.shape[2] * 2))
-            conv = DoubleConv(self.features, mid_features=x1.shape[-1] // 2)
+            # reference: DoubleConv(in_ch, out_ch, mid=in_ch//2) where in_ch
+            # is the CONCATENATED width (x1 + skip, equal halves) -> mid ==
+            # x1 channels (unet_parts.py Up.__init__)
+            conv = DoubleConv(self.features, mid_features=x1.shape[-1])
         else:
             x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2))(x1)
             conv = DoubleConv(self.features)

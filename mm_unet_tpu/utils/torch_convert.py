@@ -179,6 +179,274 @@ def load_res2net_params(variables: dict, sd: dict, blocks=(3, 4, 6, 3)) -> dict:
     return v
 
 
+# ---------------------------------------------------------------------------
+# Generic pair-based full-model converters
+#
+# A "pair list" maps flax variable paths to torch state_dict keys with a
+# layout kind. `apply_pairs` grafts a live torch state_dict onto freshly
+# initialised flax variables, verifying shapes; with strict=True it also
+# asserts every torch tensor was consumed and every mapped flax leaf existed —
+# so a drifted architecture fails loudly instead of silently diverging.
+# ---------------------------------------------------------------------------
+
+_KIND_TRANSPOSE = {
+    "conv": conv_kernel,                      # torch (O,I,kH,kW) -> (kH,kW,I,O)
+    "convT": lambda w: np.transpose(np.asarray(w), (2, 3, 0, 1)),  # (I,O,kH,kW) -> (kH,kW,I,O)
+    "dense": dense_kernel,                    # (O,I) -> (I,O)
+    "raw": np.asarray,                        # copied as-is
+    "conv1d_dw": lambda w: np.squeeze(np.asarray(w), 1),  # (D,1,W) -> (D,W)
+}
+
+
+def conv_pairs(fpath, tkey, bias=True):
+    p = [((*fpath, "kernel"), f"{tkey}.weight", "conv")]
+    if bias:
+        p.append(((*fpath, "bias"), f"{tkey}.bias", "raw"))
+    return p
+
+
+def dense_pairs(fpath, tkey, bias=True):
+    p = [((*fpath, "kernel"), f"{tkey}.weight", "dense")]
+    if bias:
+        p.append(((*fpath, "bias"), f"{tkey}.bias", "raw"))
+    return p
+
+
+def norm_pairs(fpath, tkey):
+    """LayerNorm/GroupNorm (params only)."""
+    return [((*fpath, "scale"), f"{tkey}.weight", "raw"),
+            ((*fpath, "bias"), f"{tkey}.bias", "raw")]
+
+
+def bn_pairs(fpath, tkey):
+    """BatchNorm: scale/bias in params, running stats in batch_stats.
+
+    Paths here are given WITHOUT the collection root; `apply_pairs` routes
+    mean/var into batch_stats and everything else into params.
+    """
+    return norm_pairs(fpath, tkey) + [
+        ((*fpath, "mean"), f"{tkey}.running_mean", "raw"),
+        ((*fpath, "var"), f"{tkey}.running_var", "raw"),
+    ]
+
+
+def apply_pairs(variables, sd: dict, pairs, strict: bool = True):
+    """Graft `sd` (numpy state_dict) onto flax `variables` per `pairs`.
+
+    pairs: iterable of (flax_path_tuple, torch_key, kind). Leaf names `mean`
+    and `var` route to the `batch_stats` collection, all else to `params`.
+    Returns a new (plain-dict) variables pytree.
+    """
+
+    def to_mutable(t):
+        return {k: to_mutable(s) for k, s in t.items()} if hasattr(t, "items") else t
+
+    v = to_mutable(variables)
+    missing_t, missing_f, shape_err = [], [], []
+    for fpath, tkey, kind in pairs:
+        if tkey not in sd:
+            missing_t.append(tkey)
+            continue
+        fn = _KIND_TRANSPOSE[kind] if isinstance(kind, str) else kind
+        val = fn(sd[tkey])
+        coll = "batch_stats" if fpath[-1] in ("mean", "var") else "params"
+        node = v.get(coll, {})
+        ok = True
+        for k in fpath[:-1]:
+            if not isinstance(node, dict) or k not in node:
+                ok = False
+                break
+            node = node[k]
+        if not ok or not isinstance(node, dict) or fpath[-1] not in node:
+            missing_f.append((coll,) + fpath)
+            continue
+        old = node[fpath[-1]]
+        if tuple(old.shape) != tuple(val.shape):
+            shape_err.append((tkey, tuple(val.shape), (coll,) + fpath, tuple(old.shape)))
+            continue
+        node[fpath[-1]] = val.astype(np.asarray(old).dtype)
+    if strict and (missing_t or missing_f or shape_err):
+        raise ValueError(
+            f"apply_pairs mismatch: missing torch keys {missing_t[:5]}, "
+            f"missing flax paths {missing_f[:5]}, shape errors {shape_err[:5]} "
+            f"(counts: {len(missing_t)}/{len(missing_f)}/{len(shape_err)})"
+        )
+    return v
+
+
+def double_conv_pairs(fpath, tkey):
+    """Reference `unet_parts.py::DoubleConv` (Sequential conv/bn/relu x2)."""
+    return (
+        conv_pairs((*fpath, "Conv_0"), f"{tkey}.0", bias=False)
+        + bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.1")
+        + conv_pairs((*fpath, "Conv_1"), f"{tkey}.3", bias=False)
+        + bn_pairs((*fpath, "BatchNorm_1"), f"{tkey}.4")
+    )
+
+
+def unet_pairs(bilinear: bool = True):
+    """Map `mm_unet_tpu.models.unet.UNet` <- reference `src/Unet/Unet.py`."""
+    pairs = double_conv_pairs(("DoubleConv_0",), "inc.double_conv")
+    for i in range(1, 5):
+        pairs += double_conv_pairs(
+            (f"DoubleConv_{i}",), f"down{i}.maxpool_conv.1.double_conv"
+        )
+    for i in range(4):
+        up = (f"Up_{i}",)
+        if not bilinear:
+            pairs += [((*up, "ConvTranspose_0", "kernel"), f"up{i+1}.up.weight", "convT"),
+                      ((*up, "ConvTranspose_0", "bias"), f"up{i+1}.up.bias", "raw")]
+        pairs += double_conv_pairs((*up, "DoubleConv_0"), f"up{i+1}.conv.double_conv")
+    pairs += conv_pairs(("Conv_0",), "outc.conv")
+    return pairs
+
+
+def convnext_block_pairs(fpath, tkey):
+    """Reference `ConvNeXt.py::Conv` (dwconv/norm1/pwconv1/pwconv2/norm2)."""
+    return (
+        conv_pairs((*fpath, "Conv_0"), f"{tkey}.dwconv")
+        + bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.norm1")
+        + dense_pairs((*fpath, "Dense_0"), f"{tkey}.pwconv1")
+        + dense_pairs((*fpath, "Dense_1"), f"{tkey}.pwconv2")
+        + bn_pairs((*fpath, "BatchNorm_1"), f"{tkey}.norm2")
+    )
+
+
+def convunext_pairs(bilinear: bool = True):
+    """Map `mm_unet_tpu.models.convunext.ConvUNeXt` <- reference
+    `src/ConvUneXt/ConvNeXt.py::ConvUNeXt`."""
+    pairs = conv_pairs(("Conv_0",), "in_conv.0")
+    pairs += bn_pairs(("BatchNorm_0",), "in_conv.1")
+    pairs += convnext_block_pairs(("ConvNeXtBlock_0",), "in_conv.3")
+    layer_nums = (1, 1, 3, 1)
+    for i in range(4):
+        d = (f"Down_{i}",)
+        pairs += bn_pairs((*d, "BatchNorm_0"), f"down{i+1}.0")
+        pairs += conv_pairs((*d, "Conv_0"), f"down{i+1}.1")
+        for j in range(layer_nums[i]):
+            pairs += convnext_block_pairs((*d, f"ConvNeXtBlock_{j}"), f"down{i+1}.{2+j}")
+    for i in range(4):
+        u = (f"Up_{i}",)
+        pairs += bn_pairs((*u, "BatchNorm_0"), f"up{i+1}.norm")
+        if not bilinear:
+            pairs += [((*u, "ConvTranspose_0", "kernel"), f"up{i+1}.up.weight", "convT"),
+                      ((*u, "ConvTranspose_0", "bias"), f"up{i+1}.up.bias", "raw")]
+        pairs += dense_pairs((*u, "Dense_0"), f"up{i+1}.gate")
+        pairs += dense_pairs((*u, "Dense_1"), f"up{i+1}.linear1")
+        pairs += dense_pairs((*u, "Dense_2"), f"up{i+1}.linear2")
+        pairs += conv_pairs((*u, "Conv_0"), f"up{i+1}.conv1x1")
+        pairs += convnext_block_pairs((*u, "ConvNeXtBlock_0"), f"up{i+1}.conv.0")
+    pairs += conv_pairs(("Conv_1",), "out_conv.0")
+    return pairs
+
+
+def bnprelu_pairs(fpath, tkey):
+    """Reference `CFPnet.py::BNPReLU` (BatchNorm eps=1e-3 + PReLU)."""
+    return bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.bn") + [
+        ((*fpath, "PReLU_0", "alpha"), f"{tkey}.acti.weight", "raw")
+    ]
+
+
+def _cfp_conv_pairs(fpath, tkey, bn=True):
+    """Reference `CFPnet.py::Conv` wrapper (conv [+ BNPReLU])."""
+    p = [((*fpath, "Conv_0", "kernel"), f"{tkey}.conv.weight", "conv")]
+    if bn:
+        p += bnprelu_pairs((*fpath, "BNPReLU_0"), f"{tkey}.bn_prelu")
+    return p
+
+
+def cfp_module_pairs(fp, tk):
+    p = bnprelu_pairs((*fp, "BNPReLU_0"), f"{tk}.bn_relu_1")
+    p += _cfp_conv_pairs((*fp, "ConvBA_0"), f"{tk}.conv1x1_1")
+    i = 1
+    for b in range(1, 5):
+        for j in range(1, 4):
+            p += _cfp_conv_pairs((*fp, f"ConvBA_{i}"), f"{tk}.dconv3x1_{b}_{j}")
+            i += 1
+            p += _cfp_conv_pairs((*fp, f"ConvBA_{i}"), f"{tk}.dconv1x3_{b}_{j}")
+            i += 1
+    p += bnprelu_pairs((*fp, "BNPReLU_1"), f"{tk}.bn_relu_2")
+    p += _cfp_conv_pairs((*fp, f"ConvBA_{i}"), f"{tk}.conv1x1", bn=False)
+    return p
+
+
+def cfpnet_pairs(block_1: int = 2, block_2: int = 6):
+    """Map `mm_unet_tpu.models.cfpnet.CFPNet` <- reference `src/CFPnet/CFPnet.py`."""
+    p = []
+    for i in range(3):
+        p += _cfp_conv_pairs((f"ConvBA_{i}",), f"init_conv.{i}")
+    p += bnprelu_pairs(("BNPReLU_0",), "bn_prelu_1")
+    p += _cfp_conv_pairs(("DownSamplingBlock_0", "ConvBA_0"), "downsample_1.conv3x3", bn=False)
+    p += bnprelu_pairs(("DownSamplingBlock_0", "BNPReLU_0"), "downsample_1.bn_prelu")
+    for i in range(block_1):
+        p += cfp_module_pairs((f"CFPModule_{i}",), f"CFP_Block_1.CFP_Module_1_{i}")
+    p += bnprelu_pairs(("BNPReLU_1",), "bn_prelu_2")
+    p += _cfp_conv_pairs(("DownSamplingBlock_1", "ConvBA_0"), "downsample_2.conv3x3", bn=False)
+    p += bnprelu_pairs(("DownSamplingBlock_1", "BNPReLU_0"), "downsample_2.bn_prelu")
+    for i in range(block_2):
+        p += cfp_module_pairs((f"CFPModule_{block_1 + i}",), f"CFP_Block_2.CFP_Module_2_{i}")
+    p += bnprelu_pairs(("BNPReLU_2",), "bn_prelu_3")
+    p += _cfp_conv_pairs(("ConvBA_3",), "classifier.0", bn=False)
+    return p
+
+
+def _transunet_qkv(E: int, h: int):
+    """Reference TransUNet splits the fused qkv features as `(d k h)` with d
+    slowest (`TransUnet.py:20`); the rebuild uses `(k h d)`. Permute the
+    torch weight rows accordingly when converting."""
+    d = E // h
+    di, ki, hi = np.meshgrid(np.arange(d), np.arange(3), np.arange(h),
+                             indexing="ij")
+    f = (di * 3 + ki) * h + hi  # torch row for (d_i, k_i, h_i)
+    g = (ki * h + hi) * d + di  # flax column
+    perm = np.empty(3 * E, dtype=np.int64)
+    perm[g.ravel()] = f.ravel()
+
+    def convert(w):
+        return np.transpose(np.asarray(w), (1, 0))[:, perm]
+
+    return convert
+
+
+def transunet_pairs(embedding_dim: int, head_num: int, block_num: int = 8):
+    """Map `mm_unet_tpu.models.transunet.TransUNet` <- reference
+    `src/TransUnet/TransUnet.py`."""
+    p = conv_pairs(("Conv_0",), "encoder.conv1", bias=False)
+    p += bn_pairs(("BatchNorm_0",), "encoder.norm1")
+    for i in range(3):
+        e, t = (f"EncoderBottleneck_{i}",), f"encoder.encoder{i+1}"
+        p += conv_pairs((*e, "Conv_0"), f"{t}.downsample.0", bias=False)
+        p += bn_pairs((*e, "BatchNorm_0"), f"{t}.downsample.1")
+        for j in range(3):
+            p += conv_pairs((*e, f"Conv_{j+1}"), f"{t}.conv{j+1}", bias=False)
+            p += bn_pairs((*e, f"BatchNorm_{j+1}"), f"{t}.norm{j+1}")
+    v = ("ViT_0",)
+    p += dense_pairs((*v, "Dense_0"), "encoder.vit.projection")
+    p += [((*v, "cls_token"), "encoder.vit.cls_token", "raw"),
+          ((*v, "embedding"), "encoder.vit.embedding", "raw")]
+    qkv = _transunet_qkv(embedding_dim, head_num)
+    for i in range(block_num):
+        b, t = (*v, f"TransformerEncoderBlock_{i}"), f"encoder.vit.transformer.layer_blocks.{i}"
+        p += [((*b, "MultiHeadAttention_0", "Dense_0", "kernel"),
+               f"{t}.multi_head_attention.qkv_layer.weight", qkv)]
+        p += dense_pairs((*b, "MultiHeadAttention_0", "Dense_1"),
+                         f"{t}.multi_head_attention.out_attention", bias=False)
+        p += norm_pairs((*b, "LayerNorm_0"), f"{t}.layer_norm1")
+        p += dense_pairs((*b, "Dense_0"), f"{t}.mlp.mlp_layers.0")
+        p += dense_pairs((*b, "Dense_1"), f"{t}.mlp.mlp_layers.3")
+        p += norm_pairs((*b, "LayerNorm_1"), f"{t}.layer_norm2")
+    p += conv_pairs(("Conv_1",), "encoder.conv2")
+    p += bn_pairs(("BatchNorm_1",), "encoder.norm2")
+    for i in range(4):
+        dpath, t = (f"DecoderBottleneck_{i}",), f"decoder.decoder{i+1}"
+        p += conv_pairs((*dpath, "Conv_0"), f"{t}.layer.0")
+        p += bn_pairs((*dpath, "BatchNorm_0"), f"{t}.layer.1")
+        p += conv_pairs((*dpath, "Conv_1"), f"{t}.layer.3")
+        p += bn_pairs((*dpath, "BatchNorm_1"), f"{t}.layer.4")
+    p += conv_pairs(("Conv_2",), "decoder.conv1")
+    return p
+
+
 def _find_subtree(tree, prefix: str, path=()):
     """DFS for the first dict key starting with `prefix`; returns its path."""
     if not isinstance(tree, dict) and not hasattr(tree, "items"):

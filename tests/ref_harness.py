@@ -157,10 +157,25 @@ def install():
     # no mamba_ssm.ops.triton: mamba_simple's try/except assigns None (CPU path)
 
     # 5. minimal stubs for unused heavyweight imports in reference model files
+    import torch.nn as _nn
+
+    class _DropPath(_nn.Module):  # eval-mode semantics: identity
+        def __init__(self, drop_prob=0.0, *a, **k):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
     _stub_module("timm")
     _stub_module("timm.models")
-    _stub_module("timm.models.layers", trunc_normal_=lambda *a, **k: None,
-                 DropPath=None, to_2tuple=lambda x: (x, x))
+    _stub_module("timm.models.layers", trunc_normal_=lambda *a, **k: a[0] if a else None,
+                 DropPath=_DropPath, to_2tuple=_to_2tuple)
+    _stub_module("timm.models.registry", register_model=lambda f: f)
+    _stub_module("timm.models.vision_transformer", _cfg=lambda **k: dict(k))
     tv = _stub_module("torchvision")
     tv.models = _stub_module("torchvision.models")
 

@@ -103,6 +103,134 @@ def test_causal_conv1d_update_vs_reference_torch(ref):
 
 
 # ---------------------------------------------------------------------------
+# zoo models: reference torch source with random weights -> converted -> flax
+# ---------------------------------------------------------------------------
+
+def _numpy_sd(tmodel):
+    return {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+
+
+@pytest.mark.parametrize("bilinear", [True, False])
+def test_unet_vs_reference(ref, bilinear):
+    from mm_unet_tpu.models.unet import UNet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    runet = ref_harness.load_ref_model_file("src/Unet/Unet.py", name="_ref_unet")
+    torch.manual_seed(0)
+    tm = runet.UNet(n_channels=3, n_classes=1, bilinear=bilinear).eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = UNet(n_channels=3, num_classes=1, bilinear=bilinear)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.unet_pairs(bilinear))
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_convunext_vs_reference(ref):
+    from mm_unet_tpu.models.convunext import ConvUNeXt
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/ConvUneXt/ConvNeXt.py",
+                                           name="_ref_convunext")
+    torch.manual_seed(0)
+    tm = rmod.ConvUNeXt(in_channels=3, num_classes=1, bilinear=True).eval()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = ConvUNeXt(in_channels=3, num_classes=1, bilinear=True)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.convunext_pairs(True))
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_cfpnet_vs_reference(ref):
+    from mm_unet_tpu.models.cfpnet import CFPNet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/CFPnet/CFPnet.py", name="_ref_cfpnet")
+    torch.manual_seed(0)
+    tm = rmod.CFPNet(classes=1).eval()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = CFPNet(classes=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.cfpnet_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_transunet_vs_reference(ref):
+    from mm_unet_tpu.models.transunet import TransUNet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/TransUnet/TransUnet.py",
+                                           name="_ref_transunet")
+    torch.manual_seed(0)
+    # out_channels must be 128: the reference hard-codes encoder.conv2 -> 512
+    # channels, which only matches the decoder widths at oc=128
+    kw = dict(img_dim=64, in_channels=3, out_channels=128, head_num=4,
+              mlp_dim=128, block_num=2, patch_dim=16, class_num=1)
+    tm = rmod.TransUNet(**kw).eval()
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = TransUNet(**kw)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(
+        variables, _numpy_sd(tm),
+        tc.transunet_pairs(embedding_dim=128 * 8, head_num=4, block_num=2),
+    )
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_pvtv2_backbone_vs_reference(ref):
+    """PVTv2 pyramid backbone (shared by FCBFormer/DuAT/PVT-CASCADE/CVC-UNETR/
+    BMANet) vs the reference's `src/DuAT/pvtv2.py::PyramidVisionTransformerImpr`
+    which returns the 4-level feature pyramid; exercises the SAME converter
+    (`load_pvtv2_params`) used for real pretrained `.pth` warm starts."""
+    from mm_unet_tpu.models.pvtv2 import PVTv2
+    from mm_unet_tpu.utils.torch_convert import load_pvtv2_params
+
+    rmod = ref_harness.load_ref_model_file("src/DuAT/pvtv2.py", name="_ref_pvtv2")
+    torch.manual_seed(0)
+    depths = (1, 1, 2, 1)
+    tm = rmod.PyramidVisionTransformerImpr(
+        embed_dims=[32, 64, 160, 256], num_heads=[1, 2, 5, 8],
+        mlp_ratios=[8, 8, 4, 4], depths=list(depths), sr_ratios=[8, 4, 2, 1],
+        qkv_bias=True, norm_layer=torch.nn.LayerNorm,
+    ).eval()
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        wants = [o.numpy() for o in tm(_t(x))]
+
+    fm = PVTv2(embed_dims=(32, 64, 160, 256), num_heads=(1, 2, 5, 8),
+               mlp_ratios=(8, 8, 4, 4), depths=depths, sr_ratios=(8, 4, 2, 1))
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))  # backbone is NHWC
+    variables = fm.init(jax.random.PRNGKey(0), x_nhwc)
+    params = load_pvtv2_params(variables["params"], _numpy_sd(tm), depths=depths)
+    outs = fm.apply({"params": params}, x_nhwc)
+    assert len(outs) == 4
+    for i, (got, want) in enumerate(zip(outs, wants)):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))  # NHWC -> NCHW
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
 # module level: the installed tri-directional Mamba
 # ---------------------------------------------------------------------------
 
