@@ -191,7 +191,11 @@ def load_res2net_params(variables: dict, sd: dict, blocks=(3, 4, 6, 3)) -> dict:
 
 _KIND_TRANSPOSE = {
     "conv": conv_kernel,                      # torch (O,I,kH,kW) -> (kH,kW,I,O)
-    "convT": lambda w: np.transpose(np.asarray(w), (2, 3, 0, 1)),  # (I,O,kH,kW) -> (kH,kW,I,O)
+    # torch ConvTranspose2d (I,O,kH,kW) -> flax (kH,kW,I,O) with spatial flip
+    # (lax.conv_transpose(transpose_kernel=False) does not mirror the taps)
+    "convT": lambda w: np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
+    ),
     "dense": dense_kernel,                    # (O,I) -> (I,O)
     "raw": np.asarray,                        # copied as-is
     "conv1d_dw": lambda w: np.squeeze(np.asarray(w), 1),  # (D,1,W) -> (D,W)
@@ -444,6 +448,128 @@ def transunet_pairs(embedding_dim: int, head_num: int, block_num: int = 8):
         p += conv_pairs((*dpath, "Conv_1"), f"{t}.layer.3")
         p += bn_pairs((*dpath, "BatchNorm_1"), f"{t}.layer.4")
     p += conv_pairs(("Conv_2",), "decoder.conv1")
+    return p
+
+
+def mamba_pairs(fpath, tkey, d_model, dirs=("", "_b", "_s")):
+    """TFM Mamba module (reference `requirements/mamba_simple.py`): the flax
+    params mirror the torch names; `dt_proj*_weight` is stored shifted by
+    +dt_rank^-0.5 (the flax module subtracts it at call time, mamba.py:119)."""
+    import math
+
+    r = math.ceil(d_model / 16)
+    shift = r ** -0.5
+
+    def dt_shift(w):
+        return np.asarray(w) + shift
+
+    p = [((*fpath, "in_proj_weight"), f"{tkey}.in_proj.weight", "raw"),
+         ((*fpath, "out_proj_weight"), f"{tkey}.out_proj.weight", "raw")]
+    for s in dirs:
+        p += [
+            ((*fpath, f"conv1d{s}_weight"), f"{tkey}.conv1d{s}.weight", "conv1d_dw"),
+            ((*fpath, f"conv1d{s}_bias"), f"{tkey}.conv1d{s}.bias", "raw"),
+            ((*fpath, f"x_proj{s}_weight"), f"{tkey}.x_proj{s}.weight", "raw"),
+            ((*fpath, f"dt_proj{s}_weight"), f"{tkey}.dt_proj{s}.weight", dt_shift),
+            ((*fpath, f"dt_proj{s}_bias"), f"{tkey}.dt_proj{s}.bias", "raw"),
+            ((*fpath, f"A{s}_log"), f"{tkey}.A{s}_log", "raw"),
+            ((*fpath, f"D{s}"), f"{tkey}.D{s}", "raw"),
+        ]
+    return p
+
+
+def mmconv_pairs(fpath, tkey, kernel_size=3, morph=0):
+    """Reference `MMUNet.py::MMConv` (offset conv + GN + TFM Mamba + morph
+    conv + GN). Only the morph-selected dsc conv is mapped (both exist in the
+    torch state_dict; the other is architecturally dead)."""
+    p = conv_pairs((*fpath, "Conv_0"), f"{tkey}.offset_conv")
+    p += norm_pairs((*fpath, "GroupNorm_0"), f"{tkey}.gn_offset")
+    p += mamba_pairs((*fpath, "mamba"), f"{tkey}.mamba", kernel_size)
+    p += [((*fpath, "altho"), f"{tkey}.altho", "raw")]
+    dsc = "dsc_conv_x" if morph == 0 else "dsc_conv_y"
+    p += conv_pairs((*fpath, dsc), f"{tkey}.{dsc}")
+    p += norm_pairs((*fpath, "GroupNorm_1"), f"{tkey}.gn")
+    return p
+
+
+def _residual_pairs(fpath, tkey, downsample=False):
+    if downsample:
+        return (
+            conv_pairs((*fpath, "Conv_0"), f"{tkey}.block1.0", bias=False)
+            + bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.block1.1")
+            + mmconv_pairs((*fpath, "MMConv_0"), f"{tkey}.block1.3")
+            + bn_pairs((*fpath, "BatchNorm_1"), f"{tkey}.block1.4")
+            + conv_pairs((*fpath, "Conv_1"), f"{tkey}.block2.0", bias=False)
+            + bn_pairs((*fpath, "BatchNorm_2"), f"{tkey}.block2.1")
+        )
+    return (
+        mmconv_pairs((*fpath, "MMConv_0"), f"{tkey}.block1.0")
+        + bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.block1.1")
+        + mmconv_pairs((*fpath, "MMConv_1"), f"{tkey}.block1.3")
+        + bn_pairs((*fpath, "BatchNorm_1"), f"{tkey}.block1.4")
+    )
+
+
+def mm_net_pairs(depths=(3, 4, 6, 3)):
+    """Map `mm_unet_tpu.models.mm_unet.MM_Net` <- reference
+    `src/UM_Net/MMUNet.py::MM_Net` (full model, all MMConv/Mamba weights)."""
+    p = conv_pairs(("Conv_0",), "encoder1.0", bias=False)
+    p += bn_pairs(("BatchNorm_0",), "encoder1.1")
+    rb = 0
+    for stage, depth in enumerate(depths):
+        for j in range(depth):
+            p += _residual_pairs(
+                (f"ResidualBlock_{rb}",), f"encoder{stage + 2}.{j}",
+                downsample=(stage > 0 and j == 0),
+            )
+            rb += 1
+    for i in range(3):
+        p += mmconv_pairs((f"MMConv_{i}",), f"down{i + 3}.0", kernel_size=1)
+        p += bn_pairs((f"BatchNorm_{i + 1}",), f"down{i + 3}.1")
+
+    def decoder_pairs(fp, tk):
+        return (
+            mmconv_pairs((*fp, "MMConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + mmconv_pairs((*fp, "MMConv_1"), f"{tk}.conv2.0")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.conv2.1")
+        )
+
+    def sideout_pairs(fp, tk):
+        return (
+            mmconv_pairs((*fp, "MMConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.conv2")
+        )
+
+    def rcg_pairs(fp, tk):
+        return (
+            mmconv_pairs((*fp, "MMConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + [((*fp, "ConvTranspose_0", "kernel"), f"{tk}.upsample.weight", "convT"),
+               ((*fp, "ConvTranspose_0", "bias"), f"{tk}.upsample.bias", "raw")]
+            + mamba_pairs((*fp, "mamba"), f"{tk}.mamba", 64)
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.downsample")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.mlp.0")
+        )
+
+    # decoder5/side5 run first in the rebuild's call order
+    p += decoder_pairs(("DecoderBlock_0",), "decoder5")
+    p += sideout_pairs(("SideoutBlock_0",), "side5")
+    # contour branch: cbam Sequential [conv, bn, relu, CBAM, conv, bn, relu]
+    p += conv_pairs(("Conv_1",), "cbam.0")
+    p += bn_pairs(("BatchNorm_4",), "cbam.1")
+    p += conv_pairs(("CBAM_0", "Conv_0"), "cbam.3.mlp.0", bias=False)
+    p += conv_pairs(("CBAM_0", "Conv_1"), "cbam.3.mlp.2", bias=False)
+    p += conv_pairs(("CBAM_0", "Conv_2"), "cbam.3.conv", bias=False)
+    p += conv_pairs(("Conv_2",), "cbam.4")
+    p += bn_pairs(("BatchNorm_5",), "cbam.5")
+    p += conv_pairs(("Conv_3",), "line_predict")
+    # cascade: RCG_0/1/2 = rcg4/rcg3/rcg2, Sideout_1..3 = side4/3/2
+    for i, n in enumerate((4, 3, 2)):
+        p += rcg_pairs((f"RCG_{i}",), f"rcg{n}")
+        p += decoder_pairs((f"DecoderBlock_{i + 1}",), f"decoder{n}")
+        p += sideout_pairs((f"SideoutBlock_{i + 1}",), f"side{n}")
     return p
 
 

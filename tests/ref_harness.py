@@ -179,9 +179,19 @@ def install():
     tv = _stub_module("torchvision")
     tv.models = _stub_module("torchvision.models")
 
-    # 6. the installed (modified) Mamba module
+    # 6. the installed (modified) Mamba module. MMConv constructs
+    # Mamba(bimamba_type="v1") which the module's own assert rejects
+    # (`mamba_simple.py:125`, TODO at `MMUNet.py:33`); the only
+    # self-consistent configuration is v3 (SURVEY.md §2.2), so the package
+    # entry maps v1 -> v3 exactly as the rebuild does.
     mamba_simple = _load_by_path("_ref_mamba_simple", _MAMBA_PATH)
-    pkg.Mamba = mamba_simple.Mamba
+
+    def _mamba_v1_as_v3(*a, **k):
+        if k.get("bimamba_type") == "v1":
+            k["bimamba_type"] = "v3"
+        return mamba_simple.Mamba(*a, **k)
+
+    pkg.Mamba = _mamba_v1_as_v3
 
     _installed = True
     ns.ss, ns.cc, ns.mamba_simple = ss, cc, mamba_simple

@@ -230,6 +230,45 @@ def test_pvtv2_backbone_vs_reference(ref):
                                    err_msg=f"stage {i}")
 
 
+@pytest.mark.slow
+def test_mm_net_full_forward_vs_reference(ref):
+    """FULL flagship MM_Net forward vs the reference source running on the
+    pure-torch refs (`src/UM_Net/MMUNet.py::MM_Net` with `mamba_simple.py` and
+    `selective_scan_ref`). The strongest Dice-parity proxy available without
+    datasets: every MMConv offset pipeline, TFM Mamba, RCG gate, CBAM and
+    side head must agree through the whole 4-stage cascade."""
+    from mm_unet_tpu.models.mm_unet import MM_Net
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/UM_Net/MMUNet.py", name="_ref_mmunet")
+    # MMConv hard-defaults device="cuda" (`MMUNet.py:19`); run it on CPU
+    rmod.MMConv.__init__.__defaults__ = tuple(
+        "cpu" if d == "cuda" else d for d in rmod.MMConv.__init__.__defaults__
+    )
+    torch.manual_seed(0)
+    depths = (1, 1, 1, 1)  # one ResidualBlock per stage keeps CPU time sane
+    tm = rmod.MM_Net(num_classes=1, num_slices_list=[4, 4, 4, 4]).eval()
+    # shrink the torch encoder to the same depths
+    import torch.nn as tnn
+
+    tm.encoder2 = tnn.Sequential(tm.encoder2[0])
+    tm.encoder3 = tnn.Sequential(tm.encoder3[0])
+    tm.encoder4 = tnn.Sequential(tm.encoder4[0])
+    tm.encoder5 = tnn.Sequential(tm.encoder5[0])
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = MM_Net(num_classes=1, num_slices_list=(4, 4, 4, 4), depths=depths,
+                remat=False, mamba_dtype=None)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.mm_net_pairs(depths))
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # module level: the installed tri-directional Mamba
 # ---------------------------------------------------------------------------
