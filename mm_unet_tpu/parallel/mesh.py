@@ -39,25 +39,43 @@ def make_mesh(
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Shard the leading (batch) dim of every leaf over the mesh axis.
-    Leaves whose batch dim is not divisible by the axis size are replicated
-    (e.g. ragged validation tails)."""
+
+    Ragged batches (B % n_devices != 0) are PADDED to the next multiple by
+    wrapping around real samples (keeps BatchNorm statistics in-distribution,
+    unlike zero padding) and a per-sample weight vector marks the real rows.
+
+    Returns ``(sharded_tree, weight)`` where ``weight`` is a (B_padded,) f32
+    array sharded over the same axis — 1.0 for real samples, 0.0 for pad.
+    Feed it to ``train_step(sample_weight=...)`` / the loss so pad samples
+    contribute nothing (the reference's DDP equivalent is Accelerate's even
+    batch split; replicating the full batch on every device — the previous
+    behaviour — silently wasted the mesh).
+    """
     n = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(batch)
+    bsz = leaves[0].shape[0] if leaves and getattr(leaves[0], "ndim", 0) > 0 else 0
+    pad = (-bsz) % n
 
     def put(x):
-        if x.ndim == 0 or x.shape[0] % n != 0:
+        if x.ndim == 0 or x.shape[0] != bsz:
             if n > 1 and x.ndim > 0 and x.shape[:1] not in _warned_shapes:
                 _warned_shapes.add(x.shape[:1])
                 _logger.warning(
-                    "shard_batch: batch dim %d not divisible by %d devices — "
-                    "replicating (every device computes the full batch). Pad "
-                    "or split the batch to use the mesh.", x.shape[0], n,
+                    "shard_batch: leaf batch dim %s != batch size %d — "
+                    "replicating this leaf.", x.shape[:1], bsz,
                 )
-            spec = P()
-        else:
-            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        if pad:
+            idx = np.arange(bsz + pad) % bsz  # wrap-pad with real samples
+            x = np.take(np.asarray(x), idx, axis=0)
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(put, batch)
+    weight = np.ones(bsz + pad, np.float32)
+    if pad:
+        weight[bsz:] = 0.0
+    weight = jax.device_put(weight, NamedSharding(mesh, P(axis)))
+    return jax.tree_util.tree_map(put, batch), weight
 
 
 def replicate(tree, mesh: Mesh):

@@ -21,6 +21,17 @@ def _bce_with_logits(logits: Array, targets: Array) -> Array:
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def _wmean(per_sample: Array, weight: Array | None) -> Array:
+    """Mean of per-sample values (B, ...) — sample-weighted when `weight`
+    (B,) is given (pad rows from `shard_batch` carry weight 0)."""
+    if per_sample.ndim > 1:
+        per_sample = jnp.mean(per_sample, axis=tuple(range(1, per_sample.ndim)))
+    if weight is None:
+        return jnp.mean(per_sample)
+    w = weight.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def dice_loss(
     logits: Array,
     targets: Array,
@@ -28,6 +39,7 @@ def dice_loss(
     smooth_nr: float = 0.0,
     smooth_dr: float = 1e-5,
     squared_pred: bool = False,
+    weight: Array | None = None,
 ) -> Array:
     """MONAI DiceLoss: per-(sample, channel) dice over spatial dims, mean."""
     p = jax.nn.sigmoid(logits) if sigmoid else logits
@@ -39,10 +51,11 @@ def dice_loss(
     else:
         denom = jnp.sum(p, axis=dims) + jnp.sum(t, axis=dims)
     dice = 1.0 - (2.0 * inter + smooth_nr) / (denom + smooth_dr)
-    return jnp.mean(dice)
+    return _wmean(dice, weight)
 
 
-def focal_loss(logits: Array, targets: Array, gamma: float = 2.0, alpha=None) -> Array:
+def focal_loss(logits: Array, targets: Array, gamma: float = 2.0, alpha=None,
+               weight: Array | None = None) -> Array:
     """MONAI FocalLoss (sigmoid form): mean over all elements of
     BCE * (1 - p_t)^gamma."""
     t = targets.astype(logits.dtype)
@@ -52,7 +65,7 @@ def focal_loss(logits: Array, targets: Array, gamma: float = 2.0, alpha=None) ->
     loss = ce * (1 - p_t) ** gamma
     if alpha is not None:
         loss = loss * (alpha * t + (1 - alpha) * (1 - t))
-    return jnp.mean(loss)
+    return _wmean(loss, weight)
 
 
 def dice_focal_loss(
@@ -63,16 +76,19 @@ def dice_focal_loss(
     gamma: float = 2.0,
     lambda_dice: float = 1.0,
     lambda_focal: float = 1.0,
+    weight: Array | None = None,
 ) -> Array:
     """The reference's training loss (`train.py:230-236`)."""
     return lambda_dice * dice_loss(
-        logits, targets, sigmoid=True, smooth_nr=smooth_nr, smooth_dr=smooth_dr
-    ) + lambda_focal * focal_loss(logits, targets, gamma=gamma)
+        logits, targets, sigmoid=True, smooth_nr=smooth_nr, smooth_dr=smooth_dr,
+        weight=weight,
+    ) + lambda_focal * focal_loss(logits, targets, gamma=gamma, weight=weight)
 
 
 def tversky_loss(
     logits: Array, targets: Array, alpha: float = 0.7, beta: float = 0.3,
     smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+    weight: Array | None = None,
 ) -> Array:
     """MONAI TverskyLoss (sigmoid)."""
     p = jax.nn.sigmoid(logits)
@@ -82,12 +98,13 @@ def tversky_loss(
     fp = jnp.sum(p * (1 - t), axis=dims)
     fn = jnp.sum((1 - p) * t, axis=dims)
     score = (tp + smooth_nr) / (tp + alpha * fn + beta * fp + smooth_dr)
-    return jnp.mean(1.0 - score)
+    return _wmean(1.0 - score, weight)
 
 
 def generalized_dice_loss(
     logits: Array, targets: Array, w_type: str = "square",
     smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+    weight: Array | None = None,
 ) -> Array:
     """MONAI GeneralizedDiceLoss (sigmoid, per-sample class weighting)."""
     p = jax.nn.sigmoid(logits)
@@ -105,14 +122,18 @@ def generalized_dice_loss(
     denom = jnp.sum(p, axis=dims) + ground
     numer = 2.0 * jnp.sum(w * inter, axis=-1) + smooth_nr
     denom = jnp.sum(w * denom, axis=-1) + smooth_dr
-    return jnp.mean(1.0 - numer / denom)
+    return _wmean(1.0 - numer / denom, weight)
 
 
-def dice_bce_loss(logits: Array, targets: Array, smooth: float = 1e-5) -> Array:
+def dice_bce_loss(logits: Array, targets: Array, smooth: float = 1e-5,
+                  weight: Array | None = None) -> Array:
     """Standalone DICE+BCE of the reference's mini pipeline (`loss.py`)."""
     t = targets.astype(logits.dtype)
-    bce = jnp.mean(_bce_with_logits(logits, t))
+    bce = _wmean(_bce_with_logits(logits, t), weight)
     p = jax.nn.sigmoid(logits)
+    if weight is not None:
+        wb = weight.astype(p.dtype).reshape((-1,) + (1,) * (p.ndim - 1))
+        p, t = p * wb, t * wb
     inter = jnp.sum(p * t)
     dice = 1 - (2 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
     return bce + dice

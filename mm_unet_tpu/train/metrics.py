@@ -72,12 +72,17 @@ class DiceMetric(Metric):
         self.vals.append(dice)
 
     def update_stats(self, stats: dict):
-        self._pending.append((stats["inter"], stats["psum"], stats["tsum"]))
+        self._pending.append(
+            (stats["inter"], stats["psum"], stats["tsum"], stats.get("weight"))
+        )
 
     def _drain(self):
-        for inter, psum, tsum in self._pending:
+        for inter, psum, tsum, w in self._pending:
             inter = _np(inter).astype(np.float64)
             denom = _np(psum).astype(np.float64) + _np(tsum).astype(np.float64)
+            if w is not None:  # drop shard_batch pad rows
+                keep = _np(w) > 0
+                inter, denom = inter[keep], denom[keep]
             if not self.include_background and inter.shape[1] > 1:
                 inter, denom = inter[:, 1:], denom[:, 1:]
             with np.errstate(invalid="ignore"):
@@ -113,12 +118,17 @@ class MeanIoU(Metric):
         self.vals.append(iou.mean(axis=1))  # mean_channel
 
     def update_stats(self, stats: dict):
-        self._pending.append((stats["inter"], stats["psum"], stats["tsum"]))
+        self._pending.append(
+            (stats["inter"], stats["psum"], stats["tsum"], stats.get("weight"))
+        )
 
     def _drain(self):
-        for inter, psum, tsum in self._pending:
+        for inter, psum, tsum, w in self._pending:
             inter = _np(inter).astype(np.float64)
             union = _np(psum).astype(np.float64) + _np(tsum).astype(np.float64) - inter
+            if w is not None:  # drop shard_batch pad rows
+                keep = _np(w) > 0
+                inter, union = inter[keep], union[keep]
             if not self.include_background and inter.shape[1] > 1:
                 inter, union = inter[:, 1:], union[:, 1:]
             with np.errstate(invalid="ignore"):
@@ -161,14 +171,18 @@ class ConfusionMatrixMetric(Metric):
 
     def update_stats(self, stats: dict):
         self._pending.append(
-            (stats["inter"], stats["psum"], stats["tsum"], stats["npix"])
+            (stats["inter"], stats["psum"], stats["tsum"], stats["npix"],
+             stats.get("weight"))
         )
 
     def _drain(self):
-        for inter, psum, tsum, npix in self._pending:
+        for inter, psum, tsum, npix, w in self._pending:
             inter = _np(inter).astype(np.float64)
             psum = _np(psum).astype(np.float64)
             tsum = _np(tsum).astype(np.float64)
+            if w is not None:  # drop shard_batch pad rows
+                keep = _np(w) > 0
+                inter, psum, tsum = inter[keep], psum[keep], tsum[keep]
             if not self.include_background and inter.shape[1] > 1:
                 inter, psum, tsum = inter[:, 1:], psum[:, 1:], tsum[:, 1:]
             self.tp = self.tp + inter.sum(0)

@@ -77,13 +77,13 @@ def create_train_state(model, config, rng, sample_input) -> TrainState:
 def make_loss_fn(loss_functions: dict[str, dict], loss_weights: dict[str, float]):
     """loss_functions: {name: kwargs} over LOSS_REGISTRY entries."""
 
-    def compute(logits, labels):
+    def compute(logits, labels, weight=None):
         losses = {}
         total = 0.0
         for name, kwargs in loss_functions.items():
             base = name if name in LOSS_REGISTRY else name.replace("_loss", "") + "_loss"
             fn = LOSS_REGISTRY.get(name, LOSS_REGISTRY.get(base))
-            val = fn(logits, labels, **kwargs)
+            val = fn(logits, labels, weight=weight, **kwargs)
             losses[name] = val
             total = total + loss_weights.get(name, 1.0) * val
         return total, losses
@@ -91,7 +91,7 @@ def make_loss_fn(loss_functions: dict[str, dict], loss_weights: dict[str, float]
     return compute
 
 
-def seg_stats(logits, labels) -> dict:
+def seg_stats(logits, labels, weight=None) -> dict:
     """Sufficient statistics for the 7-metric dict, computed on device.
 
     post_trans = sigmoid -> threshold 0.5 (reference `train.py:193-195`), then
@@ -106,17 +106,24 @@ def seg_stats(logits, labels) -> dict:
     npix = 1
     for d in dims:
         npix *= preds.shape[d]
-    return {
+    stats = {
         "inter": jnp.sum(preds * t, dims),  # (B, C)
         "psum": jnp.sum(preds, dims),
         "tsum": jnp.sum(t, dims),
         "npix": npix,  # static python int
     }
+    if weight is not None:
+        stats["weight"] = weight  # (B,): 0 marks shard_batch pad rows
+    return stats
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "has_batch_stats"), donate_argnums=(0,))
-def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batch_stats=True):
-    """One fused optimizer step. Returns (state, scalars, metric stats)."""
+def train_step(state: TrainState, images, labels, dropout_rng, loss_fn,
+               has_batch_stats=True, sample_weight=None):
+    """One fused optimizer step. Returns (state, scalars, metric stats).
+
+    `sample_weight` (B,) is the mask from `shard_batch` — pad rows (weight 0)
+    contribute nothing to the loss, gradients or metric statistics."""
 
     def loss_wrapped(params):
         variables = {"params": params}
@@ -129,7 +136,7 @@ def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batc
             rngs={"dropout": dropout_rng},
         )
         logits, new_vars = out if mutable else (out, {})
-        total, losses = loss_fn(logits, labels)
+        total, losses = loss_fn(logits, labels, weight=sample_weight)
         return total, (losses, logits, new_vars)
 
     (total, (losses, logits, new_vars)), grads = jax.value_and_grad(
@@ -144,7 +151,7 @@ def train_step(state: TrainState, images, labels, dropout_rng, loss_fn, has_batc
         batch_stats=new_vars.get("batch_stats", state.batch_stats),
     )
     scalars = {"total_loss": total, **losses}
-    return state, scalars, seg_stats(logits, labels)
+    return state, scalars, seg_stats(logits, labels, sample_weight)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "has_batch_stats"))

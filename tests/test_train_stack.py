@@ -172,9 +172,10 @@ def test_mini_training_loop_and_checkpoint(tmp_path):
     losses = []
     for epoch in range(3):
         for batch in loader:
-            sb = shard_batch({"image": batch["image"], "label": batch["label"]}, mesh)
+            sb, w = shard_batch({"image": batch["image"], "label": batch["label"]}, mesh)
             state, scalars, _ = train_step(state, sb["image"], sb["label"],
-                                           jax.random.key(epoch), loss_fn)
+                                           jax.random.key(epoch), loss_fn,
+                                           sample_weight=w)
             losses.append(float(scalars["total_loss"]))
     assert losses[-1] < losses[0]
 

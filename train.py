@@ -51,13 +51,14 @@ def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rn
             tracker.log({f"Train/{k}": v for k, v in scalars.items()}, step=s)
 
     for i, batch in enumerate(train_loader):
-        sharded = shard_batch(
+        sharded, weight = shard_batch(
             {"image": batch["image"], "label": batch["label"]}, mesh
         )
         rng, sub = jax.random.split(rng)
         state, scalars, stats = train_step(
             state, sharded["image"], sharded["label"], sub, loss_fn,
             has_batch_stats=bool(jax.tree_util.tree_leaves(state.batch_stats)),
+            sample_weight=weight,
         )
         # metric accumulation from tiny device-side stats; no host sync here
         for name in metrics:
