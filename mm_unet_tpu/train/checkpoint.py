@@ -57,6 +57,79 @@ class CheckpointManager:
         return os.path.isdir(os.path.join(self.base, tag))
 
 
+def param_manifest(tree) -> dict[str, list[int]]:
+    """Flatten a variables/params pytree into {'a/b/c': shape} — the stable
+    identity of a checkpoint. Committed as a fixture and asserted in tests so
+    a module-renumbering restructure (like round-1 -> round-2's conv-padding
+    change) fails CI instead of silently orphaning trained checkpoints."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        out[key] = list(np.shape(leaf))
+    return out
+
+
+def remap_params(old_tree, new_template, verbose: bool = True):
+    """Best-effort remap of an old checkpoint's leaves onto a renamed/
+    renumbered module tree.
+
+    Leaves are paired by (leaf name, shape) buckets in natural-sorted path
+    order on BOTH sides — module renumbering (e.g. `BatchNorm_4` ->
+    `BatchNorm_5` after inserting a layer) preserves relative order, so
+    ordered pairing recovers the correspondence, and an unchanged tree maps
+    to itself exactly. (Exact-path matching is deliberately NOT used: after a
+    shift, a stale path can still exist with the same shape and would steal
+    the wrong leaf.) Returns (new_tree, report) where report lists unmatched
+    old and new paths; ambiguous buckets are paired in order and reported so
+    the caller can verify.
+    """
+    import re
+
+    def natkey(s):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+    old_paths = jax.tree_util.tree_flatten_with_path(old_tree)[0]
+    new_paths, treedef = jax.tree_util.tree_flatten_with_path(new_template)
+    to_key = lambda p: "/".join(str(getattr(k, "key", k)) for k in p)  # noqa: E731
+
+    old = {to_key(p): leaf for p, leaf in old_paths}
+    new_keys = [to_key(p) for p, _ in new_paths]
+    new_leaves = [leaf for _, leaf in new_paths]
+
+    result = {}
+    # (leaf name, shape) buckets in natural path order
+    from collections import defaultdict
+
+    bucket_old = defaultdict(list)
+    for k in sorted(old, key=natkey):
+        bucket_old[(k.rsplit("/", 1)[-1], tuple(np.shape(old[k])))].append(k)
+    unmatched_new = []
+    shapes = dict(zip(new_keys, (np.shape(x) for x in new_leaves)))
+    template = dict(zip(new_keys, new_leaves))
+    # consume new paths in NATURAL order too (lexicographic flatten order
+    # puts Conv_10 before Conv_2, which would scramble the pairing)
+    for k in sorted(new_keys, key=natkey):
+        leaf = template[k]
+        b = (k.rsplit("/", 1)[-1], tuple(shapes[k]))
+        cands = bucket_old.get(b)
+        if cands:
+            src = cands.pop(0)
+            result[k] = old[src]
+            if verbose and src != k:
+                print(f"remap_params: {src} -> {k}")
+        else:
+            unmatched_new.append(k)
+            result[k] = leaf  # keep template init
+    unmatched_old = [k for ks in bucket_old.values() for k in ks]
+    if verbose and (unmatched_new or unmatched_old):
+        print(f"remap_params: {len(unmatched_new)} new paths kept init, "
+              f"{len(unmatched_old)} old leaves dropped")
+    new_tree = jax.tree_util.tree_unflatten(
+        treedef, [result[k] for k in new_keys]
+    )
+    return new_tree, {"unmatched_new": unmatched_new, "unmatched_old": unmatched_old}
+
+
 def resume_train_state(manager: CheckpointManager, state_tree, mode: str = "checkpoint"):
     """Reference `utils.resume_train_state` (`src/utils.py:29-53`): restore
     params/opt state and metadata; on any failure fall back to fresh start."""
