@@ -103,11 +103,13 @@ def generate(
     max_new_tokens: int,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[Array] = None,
 ) -> Array:
-    """Greedy / top-k sampling decode loop (`utils/generation.py:207`
-    analogue): prefill with the full forward, then per-token functional steps
-    with rolling conv/SSM caches, all under jit-able ops."""
+    """Greedy / top-k / top-p sampling decode loop (`utils/generation.py:207`
+    analogue; filter order top-k then top-p as in the reference `sample`):
+    prefill with the full forward, then per-token functional steps with
+    rolling conv/SSM caches, all under jit-able ops."""
     params = variables["params"]["backbone"]
     n_layer = model.n_layer
     d_model = model.d_model
@@ -139,11 +141,15 @@ def generate(
     out = [tokens]
     cur = None
     for _ in range(max_new_tokens):
-        if top_k is not None:
+        if top_k is not None or (top_p is not None and top_p < 1.0):
             rng, sub = jax.random.split(rng)
-            v, idx = jax.lax.top_k(logits / max(temperature, 1e-6), top_k)
-            choice = jax.random.categorical(sub, v)
-            cur = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+            lg = logits / max(temperature, 1e-6)
+            if top_k is not None:
+                kth = jax.lax.top_k(lg, top_k)[0][:, -1:]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            if top_p is not None and top_p < 1.0:
+                lg = _top_p_filter(lg, top_p)
+            cur = jax.random.categorical(sub, lg)
         else:
             cur = jnp.argmax(logits, axis=-1)
         out.append(cur[:, None])
@@ -160,6 +166,17 @@ def generate(
         final = _layernorm(final, params["norm_f"])
         logits = final @ embed.T
     return jnp.concatenate(out, axis=1)
+
+
+def _top_p_filter(logits: Array, top_p: float) -> Array:
+    """Nucleus filtering (reference `modify_logits_for_top_p_filtering`,
+    `mamba_ssm/utils/generation.py`): drop the ascending tail whose
+    cumulative softmax probability is <= 1 - top_p."""
+    srt = jnp.sort(logits, axis=-1)  # ascending
+    cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+    keep = cum > (1.0 - top_p)
+    thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, -jnp.inf, logits)
 
 
 def _layernorm(x, p, eps=1e-5):

@@ -52,3 +52,25 @@ def test_generate_greedy_deterministic():
     b = generate(model, variables, ids, max_new_tokens=5)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.shape == (1, 9)
+
+
+def test_top_p_filter_semantics():
+    """Nucleus filter: keeps the smallest prefix of descending-prob tokens
+    covering top_p; tiny top_p degenerates to argmax-only."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mm_unet_tpu.models.lm import _top_p_filter
+
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -1.0]])
+    probs = np.exp(np.asarray(logits[0])) / np.exp(np.asarray(logits[0])).sum()
+    # top_p just above p(max): the top token plus the next survive
+    out = np.asarray(_top_p_filter(logits, float(probs[0]) + 1e-4))
+    assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
+    assert not np.isfinite(out[0, 2]) and not np.isfinite(out[0, 3])
+    # top_p below p(max): only argmax survives
+    out = np.asarray(_top_p_filter(logits, float(probs[0]) - 1e-3))
+    assert np.isfinite(out[0, 0]) and not np.isfinite(out[0, 1:]).any()
+    # top_p = 1: keeps everything
+    out = np.asarray(_top_p_filter(logits, 1.0))
+    assert np.isfinite(out).all()
