@@ -331,6 +331,35 @@ class ResidualBlock(nn.Module):
         return nn.relu(x1 + x)
 
 
+def validate_input_size(h: int, w: int, num_slices_list=(64, 32, 16, 8)):
+    """Check MM_Net's v3 slice-scan divisibility constraints for an input size.
+
+    Stage i scans (h/2^(i+1))*(w/2^(i+1)) tokens with num_slices_list[i]
+    slices; the reference's `xz.chunk(nslices)` -> `torch.stack` requires
+    exact divisibility (`requirements/mamba_simple.py:245-247`) or it CRASHES
+    — e.g. the reference's own STARE 704² config is infeasible for MM_Net as
+    shipped: stage 5 has (704/32)² = 484 tokens and 484 % 8 != 0. 704 IS
+    feasible with num_slices_list=(64, 32, 16, 4) (every stage divides), which
+    preserves the reference's STARE protocol anchor.
+
+    Raises ValueError naming the failing stage; returns per-stage token counts.
+    """
+    if h % 32 or w % 32:
+        raise ValueError(f"MM_Net input must be divisible by 32, got {h}x{w}")
+    tokens = []
+    for i, ns in enumerate(num_slices_list):
+        t = (h // (4 << i)) * (w // (4 << i))
+        tokens.append(t)
+        if t % ns:
+            raise ValueError(
+                f"MM_Net stage {i + 2}: {t} tokens not divisible by "
+                f"num_slices_list[{i}]={ns} (input {h}x{w}). Choose a slice "
+                f"list whose entries divide the per-stage token counts "
+                f"{tokens} — e.g. 704² works with (64, 32, 16, 4)."
+            )
+    return tokens
+
+
 @register_model("MM_Net")
 class MM_Net(nn.Module):
     """Flagship model (`MMUNet.py:474-585`). Input (B, 3, H, W) NCHW; output

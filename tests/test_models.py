@@ -251,3 +251,19 @@ def test_hwaunetr_forward():
     x = jax.random.normal(jax.random.key(0), (1, 3, 64, 64))
     out = _run(model, x)
     assert out.shape == (1, 1, 64, 64)
+
+
+def test_mm_net_validate_input_size():
+    """STARE-704 analysis (VERDICT r2 item 10): the reference's default slice
+    list is infeasible at 704² (stage-5: 484 % 8 != 0 would crash its
+    xz.chunk/stack); (64, 32, 16, 4) divides every stage."""
+    import pytest as _pytest
+
+    from mm_unet_tpu.models.mm_unet import validate_input_size
+
+    assert validate_input_size(512, 512) == [16384, 4096, 1024, 256]
+    with _pytest.raises(ValueError, match="stage 5.*484"):
+        validate_input_size(704, 704)
+    assert validate_input_size(704, 704, (64, 32, 16, 4)) == [30976, 7744, 1936, 484]
+    with _pytest.raises(ValueError, match="divisible by 32"):
+        validate_input_size(700, 700)
