@@ -35,26 +35,44 @@ def main(logdir: str = "/tmp/mmu_trace"):
         items = sorted(totals.items(), key=lambda kv: -kv[1])
         tot = sum(totals.values())
         print(f"== {plane.name}: device total {tot / 1e9:.1f} ms ==")
+        # Classify by the op's own HLO kind — the token before the operand
+        # list — NOT by substring over the whole text (operand names like
+        # %copy-done.123 inside a fusion's operand list previously
+        # miscategorized elementwise fusions as copies, inflating the
+        # copy/transpose share ~3x in the round-2 numbers).
+        def kind_of(name):
+            for k in ("custom-call", "convolution", "select-and-scatter",
+                      "dot", "copy", "transpose", "bitcast", "gather",
+                      "scatter", "dynamic-slice", "dynamic-update-slice",
+                      "fusion", "reduce-window", "reduce", "slice", "pad",
+                      "concatenate", "iota", "broadcast", "convert"):
+                if f" {k}(" in name:
+                    return k
+            return "other"
+
+        CAT = {
+            "custom-call": "pallas_scan", "convolution": "convolution",
+            "select-and-scatter": "convolution", "reduce-window": "convolution",
+            "dot": "matmul", "copy": "copy/transpose",
+            "transpose": "copy/transpose", "bitcast": "copy/transpose",
+            "gather": "gather", "scatter": "scatter",
+            "dynamic-slice": "copy/transpose",
+            "dynamic-update-slice": "copy/transpose",
+            "slice": "copy/transpose", "pad": "copy/transpose",
+            "concatenate": "copy/transpose",
+            "fusion": "fusion(elementwise)",
+        }
         kinds = defaultdict(int)
         for name, t in items:
-            low = name.lower()
-            if "custom-call" in low or "_fused_scan" in low:
-                k = "pallas_scan"
-            elif "conv" in low:
-                k = "convolution"
-            elif "dot" in low:
-                k = "matmul"
-            elif "copy" in low or "transpose" in low or "bitcast" in low:
-                k = "copy/transpose"
-            elif "gather" in low:
-                k = "gather"
-            elif "scatter" in low:
-                k = "scatter"
-            elif "fusion" in low:
-                k = "fusion(elementwise)"
-            else:
-                k = "other"
-            kinds[k] += t
+            cat = CAT.get(kind_of(name), "other")
+            if cat == "fusion(elementwise)":
+                # a fused conv keeps 'convolution' in the fusion's own name
+                head = name.lstrip("%").split(" ", 1)[0]
+                if "convolution" in head:
+                    cat = "convolution"
+                elif head.startswith(("copy", "transpose", "bitcast")):
+                    cat = "copy/transpose"
+            kinds[cat] += t
         for k, t in sorted(kinds.items(), key=lambda kv: -kv[1]):
             print("  %6.2f%%  %8.1f ms  %s" % (100 * t / tot, t / 1e9, k))
         print("-- top ops --")
