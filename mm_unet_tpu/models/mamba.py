@@ -126,13 +126,14 @@ class Mamba(nn.Module):
         return conv_w, conv_b, x_proj, dt_w, dt_b, a_log, d_skip
 
     def _mega_scan(self, xz_dirs: list[Array], params: list, has_rev: bool):
-        """Fused-kernel path: projections + scan + gate in ONE Pallas kernel
-        (`ops/mamba_fused.py`), the reversed direction scanned right-to-left
-        in-kernel — no operand flips, no materialised dt/B/C streams.
+        """Fused-kernel path: causal conv + projections + scan + gate in ONE
+        Pallas kernel (`ops/mamba_fused.py`), the reversed direction scanned
+        right-to-left in-kernel with an anti-causal conv — no operand flips,
+        no materialised conv output or dt/B/C streams.
 
         xz_dirs order: forward[, slice-interleaved][, reverse] (reverse LAST,
         in natural token order). Returns (y_nonrev (B, G', D, L), y_rev or
-        None), all f32 in each stream's own token domain.
+        None) in the stream dtype, each in its own token domain.
         """
         cdtype = self.dtype or xz_dirs[0].dtype
         bsz, _, L = xz_dirs[0].shape
@@ -143,45 +144,34 @@ class Mamba(nn.Module):
             x, z = jnp.split(xz, 2, axis=1)
             xs.append(x)
             zs.append(z)
-        x_all = jnp.concatenate(xs, axis=1)  # (B, G*D, L)
-        z_all = jnp.concatenate(zs, axis=1)
 
-        conv_w = jnp.concatenate([p[0] for p in params], axis=0).astype(cdtype)
+        conv_w = jnp.stack([p[0] for p in params]).astype(cdtype)  # (G, D, W)
         conv_b = (
-            jnp.concatenate([p[1] for p in params], axis=0)
+            jnp.stack([p[1] for p in params])
             if params[0][1] is not None
             else None
         )
-        cb = (lambda s: None) if conv_b is None else (lambda s: conv_b[s])
-        if has_rev:
-            nc = (g - 1) * d_in
-            x_c = causal_conv1d(x_all[:, :nc], conv_w[:nc], cb(slice(None, nc)),
-                                activation="silu")
-            x_r = causal_conv1d(x_all[:, nc:], conv_w[nc:], cb(slice(nc, None)),
-                                activation="silu", reverse=True)
-        else:
-            x_c = causal_conv1d(x_all, conv_w, conv_b, activation="silu")
-            x_r = None
-
         x_proj = jnp.stack([p[2] for p in params]).astype(cdtype)  # (G, R+2N, D)
         dt_w = jnp.stack([p[3] for p in params]).astype(cdtype)  # (G, D, R)
         dt_b = jnp.stack([p[4] for p in params]).astype(jnp.float32)  # (G, D)
         A = -jnp.exp(jnp.stack([p[5] for p in params]).astype(jnp.float32))
         d_skip = jnp.stack([p[6] for p in params]).astype(jnp.float32)
 
-        z4 = z_all.reshape(bsz, g, d_in, L)
+        x4 = jnp.stack(xs, axis=1)  # (B, G, D, L) raw pre-conv
+        z4 = jnp.stack(zs, axis=1)
+        cb = (lambda s: None) if conv_b is None else (lambda s: conv_b[s])
         if not has_rev:
             y = mamba_fused_scan(
-                x_c.reshape(bsz, g, d_in, L), z4, x_proj, dt_w, dt_b, A, d_skip
+                x4, z4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip
             )
             return y, None
         gn = g - 1
         y_nr = mamba_fused_scan(
-            x_c.reshape(bsz, gn, d_in, L), z4[:, :gn],
+            x4[:, :gn], z4[:, :gn], conv_w[:gn], cb(slice(None, gn)),
             x_proj[:gn], dt_w[:gn], dt_b[:gn], A[:gn], d_skip[:gn],
         )
         y_r = mamba_fused_scan(
-            x_r.reshape(bsz, 1, d_in, L), z4[:, gn:],
+            x4[:, gn:], z4[:, gn:], conv_w[gn:], cb(slice(gn, None)),
             x_proj[gn:], dt_w[gn:], dt_b[gn:], A[gn:], d_skip[gn:],
             reverse=True,
         )

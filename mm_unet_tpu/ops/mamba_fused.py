@@ -4,13 +4,16 @@ kernel, with in-kernel reversed-direction scanning.
 TPU-native analogue of the reference's fused `mamba_inner_fn_no_out_proj`
 (`/root/reference/requirements/Mamba/mamba/mamba_ssm/ops/selective_scan_interface.py:155-225`),
 which chains causal-conv1d -> x_proj -> dt_proj -> selective_scan -> silu(z)
-gate while rematerialising the projections in backward. Here the x_proj and
-dt_proj matmuls run on the MXU *inside* the scan kernel, one (d_inner, T)
-chunk at a time, so the (B, G, R+2N, L) `x_dbl`, the (B, G*D, L) `dt` and the
-(B, G, N, L) B/C streams are never materialised in HBM — they exist one VMEM
-tile at a time. This removes the layout copies XLA inserted between the
-einsums and the scan custom-call (~10% of the train step in the round-2
-profile) and their HBM round trips.
+gate while rematerialising the projections in backward. Here the causal
+depthwise conv + SiLU run as shifted multiply-adds and the x_proj/dt_proj
+matmuls run on the MXU — all *inside* the scan kernel, one (d_inner, T)
+chunk at a time, so the conv output, the (B, G, R+2N, L) `x_dbl`, the
+(B, G*D, L) `dt` and the (B, G, N, L) B/C streams are never materialised in
+HBM — they exist one VMEM tile at a time. The conv's cross-chunk halo comes
+from a second BlockSpec view of x mapping to the neighbour chunk; the conv
+backward's cross-chunk term is carried in VMEM scratch by the adjoint grid.
+This removes the standalone conv kernels and the layout copies XLA inserted
+between the einsums and the scan custom-call, and their HBM round trips.
 
 The backward-direction scan of bi-/tri-directional Mamba runs RIGHT-TO-LEFT
 inside the kernel (suffix scan + reversed grid order) instead of flipping the
@@ -29,6 +32,7 @@ and reductions in f32.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +118,57 @@ def _wscan_adj_of_rev(dt, A2, g):
 # kernels
 # ---------------------------------------------------------------------------
 
+def _shift_with_halo(cur, halo, k, halo_ok, anticausal):
+    """Value stream cur[t -+ k] on a (Dp, T) tile, out-of-chunk positions
+    filled from `halo` (the neighbour chunk in shift direction) or zero when
+    `halo_ok` is false (sequence boundary == the conv's zero padding)."""
+    T = cur.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+    if anticausal:  # cur[t + k]; positions t >= T-k come from the next chunk
+        return jnp.where(
+            col < T - k,
+            pltpu.roll(cur, T - k, axis=1),
+            jnp.where(halo_ok, pltpu.roll(halo, T - k, axis=1), 0.0),
+        )
+    # cur[t - k]; positions t < k come from the previous chunk
+    return jnp.where(
+        col >= k,
+        pltpu.roll(cur, k, axis=1),
+        jnp.where(halo_ok, pltpu.roll(halo, k, axis=1), 0.0),
+    )
+
+
+def _conv_streams(x_ref, xh_ref, cw_ref, lp, halo_ok, reverse, W, L, T):
+    """In-kernel causal depthwise conv + SiLU on one (Dp, T) chunk.
+
+    The reference fuses causal_conv1d into `mamba_inner_fn_no_out_proj`
+    (`selective_scan_interface.py:177`); here the W-tap conv is W shifted
+    multiply-adds on the 2-D (Dp, T) tile, with the cross-chunk halo read
+    from a SECOND BlockSpec view of x that maps to the neighbour chunk in
+    conv direction (previous token chunk for causal, next for anti-causal).
+    `halo_ok` is false on the sequence-boundary chunk -> zero halo, matching
+    the conv's zero padding. `lp` is the chunk's physical (token-order) index.
+
+    Returns (xc32 f32 conv+silu masked to the real L tokens, pre-activation,
+             valid-token mask, the W-1 shifted x streams, x32).
+    """
+    x32 = x_ref[0, 0].astype(jnp.float32)
+    xh32 = xh_ref[0, 0].astype(jnp.float32)
+    pre = x32 * cw_ref[0, :, W - 1 : W]
+    shifted = []
+    for k in range(1, W):
+        s = _shift_with_halo(x32, xh32, k, halo_ok, anticausal=reverse)
+        shifted.append(s)
+        pre = pre + s * cw_ref[0, :, W - 1 - k : W - k]
+    pre = pre + cw_ref[0, :, W : W + 1]  # bias tap
+    # zero the L..Lp padded tail: the scan state and the conv-weight grads
+    # must see u == 0 there (the old XLA conv ran on unpadded L, then padded)
+    col = jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
+    valid = lp * T + col < L
+    xc32 = jnp.where(valid, jax.nn.silu(pre), 0.0)
+    return xc32, pre, valid, shifted, x32
+
+
 def _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N):
     """In-kernel projections: x_dbl via MXU, then dt rows -> (dt_raw, B, C).
 
@@ -133,10 +188,12 @@ def _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N):
 
 
 def _mega_fwd_kernel(
-    x_ref, z_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
+    x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
     out_ref, st_ref, h_ref, *, reverse: bool, SB: int, N: int,
+    W: int, L: int, T: int,
 ):
     li = pl.program_id(2)
+    nL = pl.num_programs(2)
 
     @pl.when(li == 0)
     def _():
@@ -144,7 +201,11 @@ def _mega_fwd_kernel(
 
     st_ref[0, 0, 0] = h_ref[..., 0]  # chunk-entry state (Dp, N)
 
-    u_b = x_ref[0, 0]  # (Dp, T) bf16
+    lp = (nL - 1 - li) if reverse else li
+    xc32, _, _, _, _ = _conv_streams(
+        x_ref, xh_ref, cw_ref, lp, li != 0, reverse, W, L, T
+    )
+    u_b = xc32.astype(x_ref.dtype)  # match the old bf16 conv-output rounding
     u = u_b.astype(jnp.float32)
     _, dtr, Bv, Cv = _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N)
     dt = jax.nn.softplus(dtr)
@@ -169,23 +230,35 @@ def _mega_fwd_kernel(
 
 
 def _mega_bwd_kernel(
-    x_ref, z_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref, st_ref, dout_ref,
-    dx_ref, dz_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
-    g_ref, af_ref, *, reverse: bool, SB: int, N: int,
+    x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
+    st_ref, dout_ref,
+    dx_ref, dz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
+    g_ref, af_ref, dpre_ref, *, reverse: bool, SB: int, N: int,
+    W: int, L: int, T: int,
 ):
     li = pl.program_id(2)
+    nL = pl.num_programs(2)
 
     @pl.when(li == 0)
     def _():
         g_ref[...] = jnp.zeros_like(g_ref)
         af_ref[...] = jnp.zeros_like(af_ref)
+        dpre_ref[...] = jnp.zeros_like(dpre_ref)
+        dcw_ref[0, 0] = jnp.zeros_like(dcw_ref[0, 0])
         dxp_ref[0, 0] = jnp.zeros_like(dxp_ref[0, 0])
         ddtw_ref[0, 0] = jnp.zeros_like(ddtw_ref[0, 0])
         ddtb_ref[0, 0] = jnp.zeros_like(ddtb_ref[0, 0])
         dA_ref[0, 0] = jnp.zeros_like(dA_ref[0, 0])
         dD_ref[0, 0] = jnp.zeros_like(dD_ref[0, 0])
 
-    u_b = x_ref[0, 0]
+    # recompute the in-kernel conv (adjoint grid runs opposite to data flow:
+    # the physical chunk is mirrored and the conv halo's boundary chunk is
+    # the LAST processed one)
+    lp = li if reverse else (nL - 1 - li)
+    xc32, pre, valid, shifted, x32 = _conv_streams(
+        x_ref, xh_ref, cw_ref, lp, li != nL - 1, reverse, W, L, T
+    )
+    u_b = xc32.astype(x_ref.dtype)
     u = u_b.astype(jnp.float32)
     xdbl, dtr, Bv, Cv = _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N)
     sig = jax.nn.sigmoid(dtr)
@@ -262,12 +335,36 @@ def _mega_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     dxdbl = jnp.concatenate([dxdbl_dt, dB_t, dC_t], axis=0).astype(bdt)  # (rBp+2N, T)
-    dx = jax.lax.dot_general(  # xp^T @ dxdbl -> (Dp, T)
+    dxc = jax.lax.dot_general(  # xp^T @ dxdbl -> (Dp, T), grad wrt conv output
         xp_ref[0], dxdbl, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + du
-    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+    # conv backward: through silu, then transposed taps. The cross-chunk
+    # term needs dpre of the neighbour chunk OPPOSITE to the conv direction,
+    # which the adjoint grid processed one step earlier -> scratch carry.
+    sp = jax.nn.sigmoid(pre)
+    dpre = jnp.where(valid, dxc * (sp * (1.0 + pre * (1.0 - sp))), 0.0)
+    dpc = dpre_ref[...]
+    dxr = dpre * cw_ref[0, :, W - 1 : W]
+    for k in range(1, W):
+        sd = _shift_with_halo(dpre, dpc, k, li != 0, anticausal=not reverse)
+        dxr = dxr + sd * cw_ref[0, :, W - 1 - k : W - k]
+    dpre_ref[...] = dpre
+    dx_ref[0, 0] = dxr.astype(dx_ref.dtype)
     dz_ref[0, 0] = dz_all.astype(dz_ref.dtype)
+
+    # conv weight/bias grads: tap j multiplies x[t -+ (W-1-j)]
+    cols = [
+        jnp.sum(dpre * shifted[W - 2 - j], axis=1, keepdims=True)
+        for j in range(W - 1)
+    ]
+    cols.append(jnp.sum(dpre * x32, axis=1, keepdims=True))  # current-tap
+    cols.append(jnp.sum(dpre, axis=1, keepdims=True))  # bias
+    pad = dcw_ref.shape[-1] - (W + 1)
+    if pad:
+        cols.append(jnp.zeros((x32.shape[0], pad), jnp.float32))
+    dcw_ref[0, 0] += jnp.concatenate(cols, axis=1)
 
     dxp_ref[0, 0] += jax.lax.dot_general(  # dxdbl @ u^T -> (rBp+2N, Dp)
         dxdbl, u_b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -287,25 +384,36 @@ def _mega_bwd_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
-               reverse: bool, interpret: bool):
-    """core(x (B,G,Dp,Lp) bf16, z, xp (G,rBp+2N,Dp), dtw (G,Dp,rBp),
-    dtb (G,Dp,1), A (G,Dp,N), Dv (G,Dp,1)) -> out (B,G,Dp,Lp) f32."""
+               W: int, L: int, reverse: bool, interpret: bool):
+    """core(x (B,G,Dp,Lp) raw pre-conv bf16, z, cwb (G,Dp,8) conv taps+bias,
+    xp (G,rBp+2N,Dp), dtw (G,Dp,rBp), dtb (G,Dp,1), A (G,Dp,N),
+    Dv (G,Dp,1)) -> out (B,G,Dp,Lp) in the stream dtype."""
 
-    kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N)
-    kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N)
+    kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N,
+                           W=W, L=L, T=T)
+    kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N,
+                           W=W, L=L, T=T)
 
-    def _fwd_call(x, z, xp, dtw, dtb, A, Dv):
+    def _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv):
         Bsz, G, _, Lp = x.shape
         nL = Lp // T
         grid = (Bsz, G, nL)
         # physical chunk for processing step l (reversed group scans R->L)
         lp = (lambda l: nL - 1 - l) if reverse else (lambda l: l)
+        # conv-halo neighbour in conv direction (prev token chunk for causal,
+        # next for anti-causal); the boundary chunk's halo is masked in-kernel
+        if reverse:
+            hf = lambda b, g, l: (b, g, 0, jnp.minimum(nL - l, nL - 1))
+        else:
+            hf = lambda b, g, l: (b, g, 0, jnp.maximum(l - 1, 0))
         out, st = pl.pallas_call(
             kf,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, Dp, T), hf),
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, Dp, 8), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, rBp + 2 * N, Dp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, rBp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, 1), lambda b, g, l: (g, 0, 0)),
@@ -317,7 +425,11 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, 1, 1, Dp, N), lambda b, g, l: (b, g, lp(l), 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                # gated output in the stream dtype: scan state/reductions stay
+                # f32 in-kernel; emitting bf16 halves the output HBM traffic
+                # and keeps the downstream direction-sum + out_proj einsum on
+                # the MXU's native dtype (f32 out forced an f32 einsum)
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
                 jax.ShapeDtypeStruct((Bsz, G, nL, Dp, N), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((Dp, N, 1), jnp.float32)],
@@ -325,21 +437,29 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(x, z, xp, dtw, dtb, A, Dv)
+        )(x, x, z, cwb, xp, dtw, dtb, A, Dv)
         return out, st
 
-    def _bwd_call(x, z, xp, dtw, dtb, A, Dv, st, dout):
+    def _bwd_call(x, z, cwb, xp, dtw, dtb, A, Dv, st, dout):
         Bsz, G, _, Lp = x.shape
         nL = Lp // T
         grid = (Bsz, G, nL)
         # adjoint runs opposite to the data flow
         lp = (lambda l: l) if reverse else (lambda l: nL - 1 - l)
+        # conv halo for the recompute: same token-direction neighbour as fwd,
+        # expressed in the adjoint's processing order
+        if reverse:
+            hf = lambda b, g, l: (b, g, 0, jnp.minimum(l + 1, nL - 1))
+        else:
+            hf = lambda b, g, l: (b, g, 0, jnp.maximum(nL - 2 - l, 0))
         outs = pl.pallas_call(
             kb,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, Dp, T), hf),
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, Dp, 8), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, rBp + 2 * N, Dp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, rBp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, 1), lambda b, g, l: (g, 0, 0)),
@@ -351,6 +471,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             out_specs=[
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, Dp, 8), lambda b, g, l: (b, g, 0, 0)),
                 pl.BlockSpec((1, 1, rBp + 2 * N, Dp), lambda b, g, l: (b, g, 0, 0)),
                 pl.BlockSpec((1, 1, Dp, rBp), lambda b, g, l: (b, g, 0, 0)),
                 pl.BlockSpec((1, 1, Dp, 1), lambda b, g, l: (b, g, 0, 0)),
@@ -360,6 +481,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             out_shape=[
                 jax.ShapeDtypeStruct(x.shape, jnp.float32),
                 jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                jax.ShapeDtypeStruct((Bsz, G, Dp, 8), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, rBp + 2 * N, Dp), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, rBp), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, 1), jnp.float32),
@@ -369,6 +491,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             scratch_shapes=[
                 pltpu.VMEM((Dp, N, 1), jnp.float32),
                 pltpu.VMEM((Dp, N, 1), jnp.float32),
+                pltpu.VMEM((Dp, T), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 # b/g grid axes carry no state; only the chunk axis is
@@ -378,26 +501,27 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 vmem_limit_bytes=32 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(x, z, xp, dtw, dtb, A, Dv, st, dout)
+        )(x, x, z, cwb, xp, dtw, dtb, A, Dv, st, dout)
         return outs
 
     @jax.custom_vjp
-    def core(x, z, xp, dtw, dtb, A, Dv):
-        out, _ = _fwd_call(x, z, xp, dtw, dtb, A, Dv)
+    def core(x, z, cwb, xp, dtw, dtb, A, Dv):
+        out, _ = _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv)
         return out
 
-    def core_fwd(x, z, xp, dtw, dtb, A, Dv):
-        out, st = _fwd_call(x, z, xp, dtw, dtb, A, Dv)
-        return out, (x, z, xp, dtw, dtb, A, Dv, st)
+    def core_fwd(x, z, cwb, xp, dtw, dtb, A, Dv):
+        out, st = _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv)
+        return out, (x, z, cwb, xp, dtw, dtb, A, Dv, st)
 
     def core_bwd(res, dout):
-        x, z, xp, dtw, dtb, A, Dv, st = res
-        dx, dz, dxp, ddtw, ddtb, dA, dD = _bwd_call(
-            x, z, xp, dtw, dtb, A, Dv, st, dout.astype(jnp.float32)
+        x, z, cwb, xp, dtw, dtb, A, Dv, st = res
+        dx, dz, dcw, dxp, ddtw, ddtb, dA, dD = _bwd_call(
+            x, z, cwb, xp, dtw, dtb, A, Dv, st, dout.astype(jnp.float32)
         )
         return (
             dx.astype(x.dtype),
             dz.astype(z.dtype),
+            jnp.sum(dcw, axis=0).astype(cwb.dtype),
             jnp.sum(dxp, axis=0).astype(xp.dtype),
             jnp.sum(ddtw, axis=0).astype(dtw.dtype),
             jnp.sum(ddtb, axis=0),
@@ -410,8 +534,10 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
 
 
 def mamba_fused_scan(
-    x_conv: Array,      # (B, G, D, L) conv+silu output, any float dtype
+    x: Array,           # (B, G, D, L) RAW pre-conv stream, any float dtype
     z: Array,           # (B, G, D, L) gate stream
+    conv_w: Array,      # (G, D, W) depthwise causal conv taps
+    conv_b: Optional[Array],  # (G, D) conv bias or None
     x_proj: Array,      # (G, R+2N, D)
     dt_w: Array,        # (G, D, R)
     dt_b: Array,        # (G, D)
@@ -420,18 +546,26 @@ def mamba_fused_scan(
     reverse: bool = False,
     interpret: bool | None = None,
 ) -> Array:
-    """Run the fused projections+scan+gate for G same-direction groups.
+    """Run the fused conv+projections+scan+gate for G same-direction groups.
 
-    Returns (B, G, D, L) f32 gated scan outputs. `reverse=True` scans every
-    group right-to-left (the backward direction of bi-Mamba) without flipping
-    any operand.
+    The causal depthwise conv + SiLU runs INSIDE the scan kernel (chunk halo
+    from a neighbour-chunk BlockSpec view), mirroring the reference's
+    `mamba_inner_fn_no_out_proj` fusion boundary exactly: raw in_proj streams
+    in, gated scan output out — dt/B/C/x_conv never touch HBM.
+
+    Returns (B, G, D, L) gated scan outputs in the stream dtype (bf16 in
+    perf configs; scan state stays f32 in-kernel). `reverse=True` scans every
+    group right-to-left (the backward direction of bi-Mamba) with an
+    anti-causal conv — no operand flips anywhere.
     """
     if interpret is None:
         interpret = not any(d.platform == "tpu" for d in jax.devices())
-    Bsz, G, D, L = x_conv.shape
+    Bsz, G, D, L = x.shape
     R = dt_w.shape[2]
     N = A.shape[2]
+    W = conv_w.shape[2]
     assert N % 8 == 0, "d_state must be a multiple of 8 for the fused kernel"
+    assert W <= 7, "conv width must fit the packed (taps..., bias) 8-lane tile"
 
     Dp = _round_up(D, 8)
 
@@ -449,11 +583,19 @@ def mamba_fused_scan(
     T = 1024 if Dp <= 24 else 512
     Lp = _round_up(L, T)
 
-    cdtype = jnp.bfloat16 if x_conv.dtype == jnp.bfloat16 else x_conv.dtype
+    cdtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
     pad_d, pad_l = Dp - D, Lp - L
 
     def pad_x(v):
         return jnp.pad(v.astype(cdtype), ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
+
+    # conv taps in f32 lanes 0..W-1, bias in lane W (the kernel reads f32;
+    # weights were already rounded to the stream dtype by the caller when
+    # the caller computes in bf16)
+    cwb = jnp.zeros((G, Dp, 8), jnp.float32)
+    cwb = cwb.at[:, :D, :W].set(conv_w.astype(jnp.float32))
+    if conv_b is not None:
+        cwb = cwb.at[:, :D, W].set(conv_b.astype(jnp.float32))
 
     xp_pad = jnp.zeros((G, rBp + 2 * N, Dp), cdtype)
     xp_pad = xp_pad.at[:, :R, :D].set(x_proj[:, :R].astype(cdtype))
@@ -465,6 +607,6 @@ def mamba_fused_scan(
     A_pad = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, pad_d), (0, 0)))
     D_pad = jnp.pad(D_skip.astype(jnp.float32), ((0, 0), (0, pad_d)))[..., None]
 
-    core = _mega_core(T, Dp, SBf, SBb, N, rBp, bool(reverse), bool(interpret))
-    out = core(pad_x(x_conv), pad_x(z), xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
+    core = _mega_core(T, Dp, SBf, SBb, N, rBp, W, L, bool(reverse), bool(interpret))
+    out = core(pad_x(x), pad_x(z), cwb, xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
     return out[:, :, :D, :L]

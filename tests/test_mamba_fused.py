@@ -1,6 +1,6 @@
 """Parity tests for the fused Mamba-inner kernel (`ops/mamba_fused.py`):
-values and ALL gradients vs the unfused composition (projections via einsum +
-golden selective scan + gate), forward and reversed directions.
+values and ALL gradients vs the unfused composition (causal conv + projections
+via einsum + golden selective scan + gate), forward and reversed directions.
 
 Mirrors the reference's fused-vs-unfused test
 (`/root/reference/requirements/Mamba/mamba/tests/ops/test_selective_scan.py::test_mamba_inner_fn`).
@@ -11,17 +11,22 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from mm_unet_tpu.ops.causal_conv1d import causal_conv1d
 from mm_unet_tpu.ops.mamba_fused import mamba_fused_scan
 from mm_unet_tpu.ops.selective_scan import selective_scan_ref
 
+ARGNAMES = ["x", "z", "conv_w", "conv_b", "x_proj", "dt_w", "dt_b", "A", "D"]
 
-def _ref_path(x_conv, z, x_proj, dt_w, dt_b, A, D_skip, reverse):
-    B, G, D, L = x_conv.shape
+
+def _ref_path(x, z, conv_w, conv_b, x_proj, dt_w, dt_b, A, D_skip, reverse):
+    B, G, D, L = x.shape
     outs = []
     for g in range(G):
-        xg, zg = x_conv[:, g], z[:, g]
+        xg, zg = x[:, g], z[:, g]
         if reverse:
             xg, zg = jnp.flip(xg, axis=-1), jnp.flip(zg, axis=-1)
+        xg = causal_conv1d(xg, conv_w[g], conv_b[g] if conv_b is not None else None,
+                           activation="silu")
         xdbl = jnp.einsum("bdl,ed->bel", xg, x_proj[g])
         R, N = dt_w.shape[2], A.shape[2]
         dt = jnp.einsum("brl,dr->bdl", xdbl[:, :R], dt_w[g])
@@ -33,14 +38,29 @@ def _ref_path(x_conv, z, x_proj, dt_w, dt_b, A, D_skip, reverse):
     return jnp.stack(outs, axis=1)
 
 
-def _make(D, L, G, seed=0):
+def _make(D, L, G, seed=0, W=4):
     rng = np.random.default_rng(seed)
     N, R, B = 16, max(1, D // 32), 2
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
     return (
-        f(B, G, D, L) * 0.5, f(B, G, D, L), f(G, R + 2 * N, D) * (D ** -0.5),
+        f(B, G, D, L) * 0.5, f(B, G, D, L), f(G, D, W) * 0.4, f(G, D) * 0.1,
+        f(G, R + 2 * N, D) * (D ** -0.5),
         f(G, D, R) * 0.3, f(G, D) * 0.1, -jnp.exp(f(G, D, N) * 0.5), f(G, D),
     )
+
+
+def _assert_grads(args, got_shape, reverse, rtol=5e-3, atol=5e-3, seed=1):
+    w = jnp.asarray(np.random.default_rng(seed).standard_normal(got_shape), jnp.float32)
+    gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse).astype(jnp.float32) * w),
+                  argnums=tuple(range(9)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
+                  argnums=tuple(range(9)))(*args)
+    for name, a, b in zip(ARGNAMES, gm, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=rtol, atol=atol,
+            err_msg=f"grad {name}",
+        )
 
 
 @pytest.mark.parametrize("D,L,G,reverse", [
@@ -54,18 +74,7 @@ def test_mega_matches_unfused(D, L, G, reverse):
     got = mamba_fused_scan(*args, reverse=reverse)
     want = _ref_path(*args, reverse=reverse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
-
-    w = jnp.asarray(np.random.default_rng(1).standard_normal(got.shape), jnp.float32)
-    gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse) * w),
-                  argnums=tuple(range(7)))(*args)
-    gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
-                  argnums=tuple(range(7)))(*args)
-    for name, a, b in zip(["x_conv", "z", "x_proj", "dt_w", "dt_b", "A", "D"], gm, gr):
-        scale = float(jnp.max(jnp.abs(b))) + 1e-9
-        np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, rtol=5e-3, atol=5e-3,
-            err_msg=f"grad {name}",
-        )
+    _assert_grads(args, got.shape, reverse)
 
 
 @pytest.mark.parametrize("D,L,reverse", [
@@ -74,24 +83,32 @@ def test_mega_matches_unfused(D, L, G, reverse):
     pytest.param(16, 1200, True, marks=pytest.mark.slow),
 ])
 def test_mega_multichunk_gradients(D, L, reverse):
-    """Gradient parity when L genuinely spans kernel chunks (regression for
-    the dropped a_e*h_in chunk-boundary term in the megakernel backward)."""
+    """Gradient parity when L genuinely spans kernel chunks — covers the
+    scan's cross-chunk a_e*h_in boundary term AND the in-kernel conv's
+    cross-chunk halo/carry terms (taps and dx both cross the chunk edge)."""
     args = _make(D, L, 1, seed=11)
     got = mamba_fused_scan(*args, reverse=reverse)
     want = _ref_path(*args, reverse=reverse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+    _assert_grads(args, got.shape, reverse, seed=12)
 
-    w = jnp.asarray(np.random.default_rng(12).standard_normal(got.shape), jnp.float32)
-    gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse) * w),
-                  argnums=tuple(range(7)))(*args)
-    gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
-                  argnums=tuple(range(7)))(*args)
-    for name, a, b in zip(["x_conv", "z", "x_proj", "dt_w", "dt_b", "A", "D"], gm, gr):
-        scale = float(jnp.max(jnp.abs(b))) + 1e-9
-        np.testing.assert_allclose(
-            np.asarray(a) / scale, np.asarray(b) / scale, rtol=5e-3, atol=5e-3,
-            err_msg=f"grad {name}",
-        )
+
+def test_mega_no_conv_bias():
+    """conv_b=None follows the Mamba conv_bias=False configuration."""
+    args = list(_make(16, 96, 1, seed=7))
+    args[3] = None
+    got = mamba_fused_scan(*args)
+    want = _ref_path(*args, reverse=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("W", [2, 3])
+def test_mega_conv_widths(W):
+    """Non-default conv widths (reference supports 2..4)."""
+    args = _make(16, 96, 1, seed=5, W=W)
+    got = mamba_fused_scan(*args)
+    want = _ref_path(*args, reverse=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
 
 
 def test_mega_bf16_streams():
@@ -100,4 +117,6 @@ def test_mega_bf16_streams():
     bf = [a.astype(jnp.bfloat16) for a in args[:2]] + list(args[2:])
     got = mamba_fused_scan(*bf)
     want = _ref_path(*[a.astype(jnp.float32) for a in bf], reverse=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
