@@ -56,10 +56,11 @@ def main(which: str = "all") -> int:
         ("RCG2 G1rev", 8, 128, 65536, 1, True),
         ("RCG3 G2fwd", 8, 128, 16384, 2, False),
     ]:
-        N, R = 16, max(1, 64 // 16)
+        N, R, W = 16, max(1, 64 // 16), 4
         args = (
             (f(B, G, D, L) * 0.5).astype(jnp.bfloat16),
             f(B, G, D, L).astype(jnp.bfloat16),
+            f(G, D, W) * 0.3, f(G, D) * 0.1,
             f(G, R + 2 * N, D) * (D ** -0.5),
             f(G, D, R) * 0.3, f(G, D) * 0.1,
             -jnp.exp(f(G, D, N) * 0.5), f(G, D),
@@ -71,7 +72,7 @@ def main(which: str = "all") -> int:
             def loss(*a):
                 return jnp.sum(mamba_fused_scan(*a, reverse=rev) * 1e-3)
 
-            vjp = jax.jit(jax.grad(loss, argnums=tuple(range(7))))
+            vjp = jax.jit(jax.grad(loss, argnums=tuple(range(9))))
             print(f"{tag} f+b:  {timeit(vjp, args):7.2f} ms")
     return 0
 
