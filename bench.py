@@ -124,14 +124,23 @@ def main() -> int:
     from mm_unet_tpu.train.trainer import make_predictor
 
     inferer = SlidingWindowInferer(roi_size=(SIZE, SIZE), overlap=0.5)
-    predictor = make_predictor(state)
-    out = inferer(x, predictor)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(INFER_STEPS):
+
+    def time_infer(predictor):
         out = inferer(x, predictor)
-    jax.block_until_ready(out)
-    infer_per_sec = BATCH * INFER_STEPS / (time.perf_counter() - t0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(INFER_STEPS):
+            out = inferer(x, predictor)
+        jax.block_until_ready(out)
+        return BATCH * INFER_STEPS / (time.perf_counter() - t0)
+
+    infer_per_sec = time_infer(make_predictor(state))
+    # reduced-precision inference (geometry stays f32 in-model; parity pinned
+    # by tests/test_infer_bf16.py)
+    try:
+        infer_bf16_per_sec = time_infer(make_predictor(state, dtype=jnp.bfloat16))
+    except Exception:
+        infer_bf16_per_sec = None
 
     print(
         json.dumps(
@@ -141,6 +150,9 @@ def main() -> int:
                 "unit": "images/sec",
                 "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
                 "infer_images_per_sec": round(infer_per_sec, 3),
+                "infer_bf16_images_per_sec": (
+                    round(infer_bf16_per_sec, 3) if infer_bf16_per_sec else None
+                ),
                 "train_mfu": round(mfu, 4) if mfu == mfu else None,
                 "train_flops_per_step": flops if flops == flops else None,
                 # Honest roofline (MXU-MFU is the wrong denominator for a

@@ -106,6 +106,77 @@ def scan3(dt, u, Bv, Cv, A, T):
 
 
 # --------------------------------------------------------------------------
+# 3-D kernel with in-kernel 128-token sub-chunking: 7 passes per sub-chunk
+# (vs log2(T) over the whole tile), carry folded sequentially in-register.
+# Same op patterns as the production kernel; lane rolls stay in-VREG.
+#
+# MEASURED AND REJECTED (round 3): isolated microbench won on fwd
+# (RCG2 G2 fwd 39.6 vs 42.3 ms) and washed on f+b (128.9 vs 127.5), but the
+# full train step REGRESSED 16.05 -> 15.24 img/s with trace-measured scan
+# time 318 -> 344 ms/step — the many small (SB, N, SC) intermediates defeat
+# Mosaic's scheduling across the rest of the step. Kept as the record of the
+# experiment; production kernels stay on full-T window-decay scans.
+# --------------------------------------------------------------------------
+
+def _kernel3s(dt_ref, u_ref, Bv_ref, Cv_ref, A_ref, y_ref, h_ref, *, SB, SC):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    dt = dt_ref[0].astype(jnp.float32)
+    u = u_ref[0].astype(jnp.float32)
+    Bv = Bv_ref[0].astype(jnp.float32)
+    Cv = Cv_ref[0].astype(jnp.float32)
+    A2 = A_ref[...].astype(jnp.float32) * _LOG2E
+    Dp, T = u.shape
+    for i in range(Dp // SB):
+        sl = slice(i * SB, (i + 1) * SB)
+        A2i = A2[sl]
+        hc = h_ref[sl]                       # (SB, N, 1) running carry
+        ys = []
+        for c in range(T // SC):
+            cs = slice(c * SC, (c + 1) * SC)
+            dti, ui = dt[sl, cs], u[sl, cs]  # (SB, SC)
+            b = (dti * ui)[:, None, :] * Bv[:, cs][None]
+            a_e = jnp.exp2(dti[:, 0:1][:, None, :] * A2i[:, :, None])
+            col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+            b = b + jnp.where(col == 0, a_e * hc, 0.0)
+            h = _wscan_fwd3(dti, A2i, b)
+            hc = h[:, :, -1:]
+            ys.append(jnp.sum(h * Cv[:, cs][None], axis=1))
+        h_ref[sl] = hc
+        y_ref[0, sl, :] = jnp.concatenate(ys, axis=1).astype(y_ref.dtype)
+
+
+def scan3s(dt, u, Bv, Cv, A, T, SC=128, SB=32):
+    Bsz, Dp, L = u.shape
+    N = A.shape[1]
+    nL = L // T
+    y = pl.pallas_call(
+        functools.partial(_kernel3s, SB=SB, SC=SC),
+        grid=(Bsz, nL),
+        in_specs=[
+            pl.BlockSpec((1, Dp, T), lambda b, l: (b, 0, l)),
+            pl.BlockSpec((1, Dp, T), lambda b, l: (b, 0, l)),
+            pl.BlockSpec((1, N, T), lambda b, l: (b, 0, l)),
+            pl.BlockSpec((1, N, T), lambda b, l: (b, 0, l)),
+            pl.BlockSpec((Dp, N), lambda b, l: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Dp, T), lambda b, l: (b, 0, l)),
+        out_shape=jax.ShapeDtypeStruct(u.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Dp, N, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=INTERP,
+    )(dt, u, Bv, Cv, A)
+    return y
+
+
+# --------------------------------------------------------------------------
 # tiled 4-D scan
 # --------------------------------------------------------------------------
 
@@ -278,13 +349,23 @@ def main(which="all"):
     if which in ("parity", "all"):
         args = make_args(2, 32, 16, 2048)
         ref = golden(*args)
-        for name, fn, T in [("scan3 T512 ", scan3, 512), ("scan4 T1024", scan4, 1024)]:
+        for name, fn, T in [("scan3 T512 ", scan3, 512), ("scan3s T512", scan3s, 512),
+                            ("scan4 T1024", scan4, 1024)]:
             try:
                 out = jax.jit(functools.partial(fn, T=T))(*args)
                 err = float(jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
                 print(f"{name}: rel err {err:.2e}")
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}")
+    if which == "time3s":
+        args = make_args(8, 128, 16, 65536, on_device=True)
+        for T, SC, SB in ((1024, 128, 64), (1024, 128, 128), (4096, 128, 32),
+                          (1024, 512, 32)):
+            try:
+                t = timeit(jax.jit(functools.partial(scan3s, T=T, SC=SC, SB=SB)), args)
+                print(f"scan3s T{T:<4d} SC{SC} SB{SB}: {t:7.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"scan3s T{T} SC{SC} SB{SB}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
     if which in ("time", "all", "time4"):
         args = make_args(8, 128, 16, 65536, on_device=True)
         if which != "time4":

@@ -170,13 +170,15 @@ class _TapConv(nn.Module):
             return out + bias
 
         kb = kernel.astype(feat.dtype)
-        yc = jnp.clip(y_coords, 0, h - 1).astype(feat.dtype)
-        src = jnp.arange(h, dtype=feat.dtype)
         # bilinear hat: 2-hot row-interpolation weights (see
-        # layers.deform_sample_rows_matmul)
+        # layers.deform_sample_rows_matmul). Built in f32 regardless of the
+        # feature dtype: |src - yc| at row coordinates up to H would quantise
+        # to whole rows in bf16; the weights themselves (in [0,1]) cast fine.
+        yc = jnp.clip(y_coords.astype(jnp.float32), 0, h - 1)
+        src = jnp.arange(h, dtype=jnp.float32)
         m = jnp.maximum(
             0.0, 1.0 - jnp.abs(src[None, None, None, None, :] - yc[..., None])
-        )
+        ).astype(feat.dtype)
         acc = None
         for j, dx in enumerate(x_shifts):
             if dx == 0:

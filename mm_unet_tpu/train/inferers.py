@@ -45,7 +45,7 @@ def _gaussian_importance(rh: int, rw: int, sigma_scale: float = 0.125) -> jnp.nd
 
 
 def _make_pipeline(apply_fn, has_bs, shape, dtype, roi_size, overlap,
-                   sw_batch_size, mode):
+                   sw_batch_size, mode, cast_dtype=None):
     """Build the fully-jitted window->forward->stitch program for one input
     geometry. Weights are traced args; window starts and the blend-count
     canvas are trace-time constants."""
@@ -87,6 +87,9 @@ def _make_pipeline(apply_fn, has_bs, shape, dtype, roi_size, overlap,
             variables = {"params": params}
             if has_bs:
                 variables["batch_stats"] = batch_stats
+            if cast_dtype is not None:  # reduced-precision forward; stitch f32
+                g = g.astype(cast_dtype)
+                return apply_fn(variables, g, train=False).astype(jnp.float32)
             return apply_fn(variables, g, train=False)
 
         if n_groups == 1:
@@ -121,15 +124,18 @@ def sliding_window_inference(
     """inputs: (B, C, H, W) NCHW. predictor maps (N, C, rh, rw) -> (N, K, rh, rw).
     Returns stitched (B, K, H, W) logits."""
     if hasattr(predictor, "apply_fn"):  # trainer.Predictor: one-dispatch path
+        cast_dtype = getattr(predictor, "cast_dtype", None)
         key = (
             id(predictor.apply_fn), predictor.has_bs, inputs.shape,
             str(inputs.dtype), tuple(roi_size), overlap, sw_batch_size, mode,
+            str(cast_dtype),
         )
         fn = _PIPELINE_CACHE.get(key)
         if fn is None:
             fn = _make_pipeline(
                 predictor.apply_fn, predictor.has_bs, inputs.shape,
                 inputs.dtype, tuple(roi_size), overlap, sw_batch_size, mode,
+                cast_dtype=cast_dtype,
             )
             _PIPELINE_CACHE[key] = fn
         return fn(predictor.params, predictor.batch_stats, inputs)

@@ -165,21 +165,44 @@ def eval_forward(apply_fn, params, batch_stats, images, has_batch_stats=True):
 class Predictor:
     """Callable predictor that also exposes (apply_fn, params, batch_stats)
     so the sliding-window inferer can jit its whole pipeline ONCE with the
-    parameters as traced arguments (no retrace when weights change)."""
+    parameters as traced arguments (no retrace when weights change).
 
-    def __init__(self, apply_fn, params, batch_stats, has_bs: bool):
+    `cast_dtype` (e.g. jnp.bfloat16) runs the forward in reduced precision:
+    float params/stats and the input windows are cast on the way in and the
+    logits are cast back to f32 on the way out. Geometry-critical math
+    (deform coordinates, interpolation-weight construction) stays f32 inside
+    the model regardless (see `mm_unet.MMConv`/`_TapConv`, `ops.grid_sample`),
+    so only feature/weight tensors lose precision — the MXU-native path.
+    """
+
+    def __init__(self, apply_fn, params, batch_stats, has_bs: bool,
+                 cast_dtype=None):
+        if cast_dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda p: p.astype(cast_dtype)
+                if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                t,
+            )
+            params, batch_stats = cast(params), cast(batch_stats)
         self.apply_fn = apply_fn
         self.params = params
         self.batch_stats = batch_stats
         self.has_bs = has_bs
+        self.cast_dtype = cast_dtype
 
     def __call__(self, windows):
-        return eval_forward(
+        if self.cast_dtype is not None:
+            windows = windows.astype(self.cast_dtype)
+        out = eval_forward(
             self.apply_fn, self.params, self.batch_stats, windows,
             has_batch_stats=self.has_bs,
         )
+        return out.astype(jnp.float32) if self.cast_dtype is not None else out
 
 
-def make_predictor(state: TrainState):
+def make_predictor(state: TrainState, dtype=None):
+    """dtype=jnp.bfloat16 -> reduced-precision inference (see Predictor)."""
     has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
-    return Predictor(state.apply_fn, state.params, state.batch_stats, has_bs)
+    return Predictor(state.apply_fn, state.params, state.batch_stats, has_bs,
+                     cast_dtype=dtype)
