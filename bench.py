@@ -54,7 +54,12 @@ def main() -> int:
             steps_per_epoch=10, optimizer="adamw",
         )
     )
-    model = MM_Net(num_classes=1, remat=True)
+    # Operating point (round 3): bf16 compute (model default) shrinks the
+    # live activation set enough that batch 8 @ 512² fits WITHOUT remat —
+    # skipping the MMConv recompute in backward is worth ~2.5% step time.
+    # remat=True stays the model default (needed for large-image protocols,
+    # e.g. STARE 704²/896²).
+    model = MM_Net(num_classes=1, remat=False)
     rng = jax.random.key(0)
     x = jax.random.normal(jax.random.fold_in(rng, 1), (BATCH, 3, SIZE, SIZE), jnp.float32)
     y = (jax.random.uniform(jax.random.fold_in(rng, 2), (BATCH, 1, SIZE, SIZE)) > 0.9).astype(

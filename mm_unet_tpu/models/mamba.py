@@ -145,36 +145,31 @@ class Mamba(nn.Module):
             xs.append(x)
             zs.append(z)
 
-        conv_w = jnp.stack([p[0] for p in params]).astype(cdtype)  # (G, D, W)
-        conv_b = (
-            jnp.stack([p[1] for p in params])
-            if params[0][1] is not None
-            else None
-        )
-        x_proj = jnp.stack([p[2] for p in params]).astype(cdtype)  # (G, R+2N, D)
-        dt_w = jnp.stack([p[3] for p in params]).astype(cdtype)  # (G, D, R)
-        dt_b = jnp.stack([p[4] for p in params]).astype(jnp.float32)  # (G, D)
-        A = -jnp.exp(jnp.stack([p[5] for p in params]).astype(jnp.float32))
-        d_skip = jnp.stack([p[6] for p in params]).astype(jnp.float32)
-
-        x4 = jnp.stack(xs, axis=1)  # (B, G, D, L) raw pre-conv
-        z4 = jnp.stack(zs, axis=1)
-        cb = (lambda s: None) if conv_b is None else (lambda s: conv_b[s])
-        if not has_rev:
-            y = mamba_fused_scan(
-                x4, z4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip
+        def pack(lo, hi, reverse=False):
+            """Stack directions [lo, hi) and run one fused-kernel launch —
+            each launch stacks only its own directions (stack-then-slice
+            previously materialised an extra (B, G, D, L) copy per call)."""
+            sel = params[lo:hi]
+            conv_w = jnp.stack([p[0] for p in sel]).astype(cdtype)  # (G, D, W)
+            conv_b = (
+                jnp.stack([p[1] for p in sel]) if sel[0][1] is not None else None
             )
-            return y, None
-        gn = g - 1
-        y_nr = mamba_fused_scan(
-            x4[:, :gn], z4[:, :gn], conv_w[:gn], cb(slice(None, gn)),
-            x_proj[:gn], dt_w[:gn], dt_b[:gn], A[:gn], d_skip[:gn],
-        )
-        y_r = mamba_fused_scan(
-            x4[:, gn:], z4[:, gn:], conv_w[gn:], cb(slice(gn, None)),
-            x_proj[gn:], dt_w[gn:], dt_b[gn:], A[gn:], d_skip[gn:],
-            reverse=True,
-        )
+            x_proj = jnp.stack([p[2] for p in sel]).astype(cdtype)  # (G, R+2N, D)
+            dt_w = jnp.stack([p[3] for p in sel]).astype(cdtype)  # (G, D, R)
+            dt_b = jnp.stack([p[4] for p in sel]).astype(jnp.float32)  # (G, D)
+            A = -jnp.exp(jnp.stack([p[5] for p in sel]).astype(jnp.float32))
+            d_skip = jnp.stack([p[6] for p in sel]).astype(jnp.float32)
+            x4 = jnp.stack(xs[lo:hi], axis=1)  # (B, G, D, L) raw pre-conv
+            z4 = jnp.stack(zs[lo:hi], axis=1)
+            return mamba_fused_scan(
+                x4, z4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip,
+                reverse=reverse,
+            )
+
+        if not has_rev:
+            return pack(0, g), None
+        y_nr = pack(0, g - 1)
+        y_r = pack(g - 1, g, reverse=True)
         return y_nr, y_r[:, 0]
 
     def _fused_scan(self, xz_dirs: list[Array], params: list) -> Array:

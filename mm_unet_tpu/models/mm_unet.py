@@ -47,6 +47,23 @@ from mm_unet_tpu.ops.geometry import (
 
 Array = jax.Array
 
+# _TapConv strategy threshold: maps with H <= this use the MXU 2-hot matmul
+# sampler, taller maps the 2-gather row sampler (the (H_out x H_src) weight
+# tensor grows quadratically). Env knob for A/B timing on hardware.
+import os as _os  # noqa: E402
+
+_TAP_MATMUL_MAX = int(_os.environ.get("MMU_TAP_MATMUL_MAX", "256"))
+
+
+def _lkw(dtype):
+    """Layer compute-dtype kwargs. `dtype` (the block-level knob threaded from
+    `MM_Net.mamba_dtype`) governs the WHOLE feature path: conv/norm layers
+    compute in it (flax keeps params and norm statistics in f32 — only the
+    feature tensors carry reduced precision). Geometry-critical math
+    (coordinate accumulation, interpolation weights, grid_sample coords) and
+    the final logits stay f32 regardless."""
+    return {} if dtype is None else {"dtype": dtype}
+
 
 class MMConv(nn.Module):
     """Morph-Mamba deformable conv (reference `MMConv`, `MMUNet.py:10-274`).
@@ -72,14 +89,17 @@ class MMConv(nn.Module):
         b, h, w, _ = x.shape
         k = self.kernel_size
         center = k // 2
+        kw = _lkw(self.dtype)
 
-        offset = nn.Conv(2 * k, (3, 3), padding="SAME")(x)
-        offset = nn.GroupNorm(num_groups=k)(offset)
+        offset = nn.Conv(2 * k, (3, 3), padding="SAME", **kw)(x)
+        offset = nn.GroupNorm(num_groups=k, **kw)(offset)
         offset = jnp.tanh(offset)
         y_off = offset[..., :k]  # (B, H, W, K); x offsets are unused (ref parity)
 
         # cumulative offsets outward from the kernel centre (MMUNet.py:159-174)
-        acc = accumulate_offsets_from_center_last(y_off)
+        # — in f32 always: coordinates add to row indices up to H, where bf16
+        # quantisation would snap samples to whole rows
+        acc = accumulate_offsets_from_center_last(y_off.astype(jnp.float32))
         rows = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
         cols = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
         spread = jnp.linspace(-center, center, k, dtype=jnp.float32)[None, None, None, :]
@@ -119,9 +139,9 @@ class MMConv(nn.Module):
                 deformed = grid_sample_bilinear_nhwc(x, jnp.stack([x_s, y_s], axis=-1))
                 out = nn.Conv(
                     self.out_channels, (1, k), strides=(1, k), padding="VALID",
-                    name="dsc_conv_y",
+                    name="dsc_conv_y", **kw,
                 )(deformed)
-            return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
+            return nn.GroupNorm(num_groups=self.out_channels // 4, **kw)(out)
 
         if self.remat:
             sample_conv = nn.remat(sample_conv)
@@ -158,16 +178,16 @@ class _TapConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x_shifts = [j - k // 2 for j in range(k)]
 
-        if h > 256:
+        if h > _TAP_MATMUL_MAX:
             # tall maps: the (H x H) 2-hot matrix would dominate — gather path
             from mm_unet_tpu.models.layers import deform_sample_rows
 
             deformed = deform_sample_rows(feat, y_coords, x_shifts)
             out = jax.lax.conv_general_dilated(
-                deformed, kernel, window_strides=(k, 1), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                deformed, kernel.astype(feat.dtype), window_strides=(k, 1),
+                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            return out + bias
+            return out + bias.astype(out.dtype)
 
         kb = kernel.astype(feat.dtype)
         # bilinear hat: 2-hot row-interpolation weights (see
@@ -200,27 +220,89 @@ class _TapConv(nn.Module):
         return (acc + bias).astype(feat.dtype)
 
 
+@jax.custom_vjp
+def _conv_wgrad_via_im2col(x: Array, kernel: Array) -> Array:
+    """`lax.conv_general_dilated(x, kernel, SAME, NHWC)` with a custom weight
+    gradient: XLA lowers the degenerate (C_in=2, C_out=1) convolution's
+    weight gradient at 256² to a scalar loop fusion (~4.6 ms/step measured),
+    so dk is computed as an im2col matmul instead. The input gradient keeps
+    XLA's own transposed-conv rule (fast), and the forward is the plain conv."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_wgrad_fwd(x, kernel):
+    return _conv_wgrad_via_im2col(x, kernel), (x, kernel)
+
+
+def _conv_wgrad_bwd(res, g):
+    x, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    # input grad: XLA's own conv-transpose rule via vjp of the plain conv
+    dx = jax.vjp(
+        lambda x_: jax.lax.conv_general_dilated(
+            x_, kernel.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        x,
+    )[1](g.astype(x.dtype))[0]
+    # weight grad: im2col patches (feature order channel-major: (c, kh, kw))
+    # contracted against the cotangent on the MXU
+    p = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(-1, cin * kh * kw)
+    dk = jnp.einsum("pf,po->fo", p, g.reshape(-1, cout),
+                    preferred_element_type=jnp.float32)
+    dk = dk.reshape(cin, kh, kw, cout).transpose(1, 2, 0, 3)
+    return dx, dk.astype(kernel.dtype)
+
+
+_conv_wgrad_via_im2col.defvjp(_conv_wgrad_fwd, _conv_wgrad_bwd)
+
+
+class _SpatialConv(nn.Module):
+    """CBAM's 7x7 2->1 spatial-attention conv. Functionally identical to
+    `nn.Conv(1, (7, 7), padding="SAME", use_bias=False)` and
+    parameter-compatible with it (param "kernel", (k, k, c_in, 1)); see
+    `_conv_wgrad_via_im2col` for why the weight gradient is custom."""
+
+    k: int = 7
+    c_in: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.k, self.k, self.c_in, 1)
+        )
+        return _conv_wgrad_via_im2col(x, kernel)
+
+
 class CBAM(nn.Module):
     """Channel + spatial attention (reference `MMUNet.py:313-338`)."""
 
     channel: int
     reduction: int = 16
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        kw = _lkw(self.dtype)
         mlp = nn.Sequential([
-            nn.Conv(self.channel // self.reduction, (1, 1), use_bias=False),
+            nn.Conv(self.channel // self.reduction, (1, 1), use_bias=False, **kw),
             nn.relu,
-            nn.Conv(self.channel, (1, 1), use_bias=False),
+            nn.Conv(self.channel, (1, 1), use_bias=False, **kw),
         ])
-        c_avg = mlp(jnp.mean(x, axis=(1, 2), keepdims=True))
+        # spatial means accumulate in f32 (bf16 reduce over 64k pixels drifts)
+        c_avg = mlp(jnp.mean(x, axis=(1, 2), keepdims=True,
+                             dtype=jnp.float32).astype(x.dtype))
         c_max = mlp(jnp.max(x, axis=(1, 2), keepdims=True))
         y1 = jax.nn.sigmoid(c_avg + c_max) * x
-        s_avg = jnp.mean(y1, axis=-1, keepdims=True)
+        s_avg = jnp.mean(y1, axis=-1, keepdims=True,
+                         dtype=jnp.float32).astype(y1.dtype)
         s_max = jnp.max(y1, axis=-1, keepdims=True)
-        s = nn.Conv(1, (7, 7), padding="SAME", use_bias=False)(
-            jnp.concatenate([s_max, s_avg], axis=-1)
-        )
+        s = _SpatialConv(name="Conv_2")(jnp.concatenate([s_max, s_avg], axis=-1))
         return jax.nn.sigmoid(s) * y1
 
 
@@ -235,12 +317,13 @@ class SideoutBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        kw = _lkw(self.dtype)
         x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat,
                     dtype=self.dtype)(x, train)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(x)
-        return nn.Conv(self.out_channels, (1, 1))(x)
+        return nn.Conv(self.out_channels, (1, 1), **kw)(x)
 
 
 class RCG(nn.Module):
@@ -255,15 +338,16 @@ class RCG(nn.Module):
 
     @nn.compact
     def __call__(self, pre: Array, edge: Array, f: Array, train: bool = False) -> Array:
+        kw = _lkw(self.dtype)
         r = (1.0 - jax.nn.sigmoid(pre)) * f
         edge1 = resize_bilinear_align_corners(edge, f.shape[1:3])
-        x1 = jnp.concatenate([edge1, r], axis=-1)  # (B, H, W, 128)
+        x1 = jnp.concatenate([edge1.astype(r.dtype), r], axis=-1)  # (B, H, W, 128)
         x2 = _mmconv(64, 3, self.num_slices, remat=self.remat,
                      dtype=self.dtype)(x1, train)
-        x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x2)
+        x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x2)
         x2 = nn.relu(x2)
 
-        x0 = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME")(x2)
+        x0 = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME", **kw)(x2)
         b, h2, w2, c = x0.shape
         tokens = x0.reshape(b, h2 * w2, c)
         out, _, _, _ = Mamba(
@@ -271,10 +355,10 @@ class RCG(nn.Module):
             bimamba_type="v3", nslices=self.num_slices, name="mamba",
             dtype=self.dtype,
         )(tokens)
-        out_m = out.astype(jnp.float32).reshape(b, h2, w2, c)
-        x0 = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(out_m)
+        out_m = out.astype(x2.dtype).reshape(b, h2, w2, c)
+        x0 = nn.Conv(64, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), **kw)(out_m)
 
-        x3 = jax.nn.sigmoid(nn.Conv(1, (1, 1))(x2))
+        x3 = jax.nn.sigmoid(nn.Conv(1, (1, 1), **kw)(x2))
         return x0 * x3 * x2 + f
 
 
@@ -289,13 +373,14 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        kw = _lkw(self.dtype)
         x = _mmconv(self.in_channels // 4, 3, self.num_slices, remat=self.remat,
                     dtype=self.dtype)(x, train)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
         x = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
                     dtype=self.dtype)(x, train)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
         return resize_bilinear_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
 
@@ -312,17 +397,20 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        kw = _lkw(self.dtype)
+
         def bn(v):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(v)
 
         if self.downsample:
             x1 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                         padding=((1, 1), (1, 1)), use_bias=False)(x)
+                         padding=((1, 1), (1, 1)), use_bias=False, **kw)(x)
             x1 = nn.relu(bn(x1))
             x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
                          dtype=self.dtype)(x1, train)
             x1 = bn(x1)
-            sc = nn.Conv(self.out_channels, (1, 1), strides=(2, 2), use_bias=False)(x)
+            sc = nn.Conv(self.out_channels, (1, 1), strides=(2, 2),
+                         use_bias=False, **kw)(x)
             return nn.relu(bn(sc) + x1)
         x1 = _mmconv(self.out_channels, 3, self.num_slices, remat=self.remat,
                      dtype=self.dtype)(x, train)
@@ -378,20 +466,25 @@ class MM_Net(nn.Module):
     heads: Sequence[int] = (1, 2, 4, 4)  # config parity; unused (ref parity)
     remat: bool = True
     depths: Sequence[int] = (3, 4, 6, 3)  # ResNet-34-shaped stage depths (ref default)
-    mamba_dtype: str | None = "bfloat16"  # Mamba stream dtype; scan state stays f32
+    # Compute dtype for the WHOLE feature path: conv/norm layers, Mamba
+    # streams, attention. Params, norm statistics, the scan state, coordinate
+    # geometry and the output logits stay f32 (see `_lkw`). None -> full f32
+    # (the reference's training precision; used by the parity tests).
+    mamba_dtype: str | None = "bfloat16"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         ns = list(self.num_slices_list)
         rm = self.remat
         dty = self.mamba_dtype
+        kw = _lkw(dty)
         x = nchw_to_nhwc(x)
         in_hw = x.shape[1:3]
 
         # stem (MMUNet.py:492-493)
         e1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                     use_bias=False)(x)  # torch pad 3 (MMUNet.py:492)
-        e1 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(e1)
+                     use_bias=False, **kw)(x)  # torch pad 3 (MMUNet.py:492)
+        e1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(e1)
         e1 = nn.relu(e1)
         e1_pool = nn.max_pool(e1, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -413,7 +506,7 @@ class MM_Net(nn.Module):
         # 1x1 MMConv channel reducers (MMUNet.py:502-504)
         def down(v, k_ns):
             v = _mmconv(64, 1, k_ns, remat=rm, dtype=dty)(v, train)
-            v = nn.BatchNorm(use_running_average=not train, momentum=0.9)(v)
+            v = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(v)
             return nn.relu(v)
 
         e3d = down(e3, ns[-1])
@@ -425,14 +518,14 @@ class MM_Net(nn.Module):
         out5 = SideoutBlock(64, self.num_classes, ns[3], remat=rm, dtype=dty)(d5, train)
 
         # contour branch (MMUNet.py:508-511,553-556)
-        c1 = nn.Conv(64, (3, 3), padding="SAME")(e1)
-        c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(c1)
+        c1 = nn.Conv(64, (3, 3), padding="SAME", **kw)(e1)
+        c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(c1)
         c1 = nn.relu(c1)
-        c1 = CBAM(64)(c1)
-        c1 = nn.Conv(64, (3, 3), padding="SAME")(c1)
-        c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9)(c1)
+        c1 = CBAM(64, dtype=dty)(c1)
+        c1 = nn.Conv(64, (3, 3), padding="SAME", **kw)(c1)
+        c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(c1)
         c1 = nn.relu(c1)
-        p_c = nn.Conv(1, (3, 3), padding="SAME")(c1)
+        p_c = nn.Conv(1, (3, 3), padding="SAME", **kw)(c1)
 
         # decoder cascade with RCG gating (MMUNet.py:559-574)
         r4 = RCG(num_slices=ns[2], remat=rm, dtype=dty)(out5, c1, e4d, train)
@@ -447,8 +540,11 @@ class MM_Net(nn.Module):
         d2 = DecoderBlock(128, 64, ns[0], remat=rm, dtype=dty)(jnp.concatenate([d3, r2], -1), train)
         out2 = SideoutBlock(64, self.num_classes, ns[0], remat=rm, dtype=dty)(d2, train)
 
-        # sum of upsampled logits (MMUNet.py:577)
+        # sum of upsampled logits (MMUNet.py:577) — logits in f32 (the loss,
+        # metrics, and sigmoid thresholds all consume f32 regardless of the
+        # feature-path compute dtype)
         total = sum(
-            resize_bilinear_align_corners(o, in_hw) for o in (out2, out3, out4, out5, p_c)
+            resize_bilinear_align_corners(o.astype(jnp.float32), in_hw)
+            for o in (out2, out3, out4, out5, p_c)
         )
         return nhwc_to_nchw(total)

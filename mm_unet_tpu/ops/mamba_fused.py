@@ -479,8 +479,13 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, 1, Dp, 1), lambda b, g, l: (b, g, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(x.shape, jnp.float32),
-                jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                # dx/dz in the stream dtype (in-kernel arithmetic is f32; the
+                # host previously converted these (B,G,Dp,L)-sized f32 outputs
+                # to bf16 anyway — emitting them directly halves the write
+                # traffic and kills the conversions). Param-grad accumulators
+                # stay f32.
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(x.shape, z.dtype),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, 8), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, rBp + 2 * N, Dp), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, rBp), jnp.float32),
@@ -515,8 +520,10 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
 
     def core_bwd(res, dout):
         x, z, cwb, xp, dtw, dtb, A, Dv, st = res
+        # dout passes in its native (stream) dtype — the kernel casts to f32
+        # on read (line `dout = dout_ref[0, 0].astype(jnp.float32)`)
         dx, dz, dcw, dxp, ddtw, ddtb, dA, dD = _bwd_call(
-            x, z, cwb, xp, dtw, dtb, A, Dv, st, dout.astype(jnp.float32)
+            x, z, cwb, xp, dtw, dtb, A, Dv, st, dout
         )
         return (
             dx.astype(x.dtype),

@@ -25,8 +25,11 @@ def small_state():
         trainer=dict(lr=1e-3, warmup=2, num_epochs=10, weight_decay=0.05,
                      steps_per_epoch=2, optimizer="adamw")
     )
+    # mamba_dtype=None -> pure-f32 model, so p32 below is a true f32 anchor
+    # (the model DEFAULT is bf16 compute; here we pin the cast-predictor
+    # against full precision)
     model = MM_Net(num_classes=1, num_slices_list=(4, 4, 2, 2), remat=False,
-                   depths=(1, 1, 1, 1))
+                   depths=(1, 1, 1, 1), mamba_dtype=None)
     rng = jax.random.key(0)
     x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 3, 64, 64))
     return create_train_state(model, config, rng, x), x
