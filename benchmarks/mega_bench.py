@@ -51,11 +51,17 @@ def main(which: str = "all") -> int:
     rng = np.random.default_rng(0)
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa: E731
 
+    only = os.environ.get("MMU_BENCH_ONLY", "")
     for tag, B, D, L, G, rev in [
         ("RCG2 G2fwd", 8, 128, 65536, 2, False),
         ("RCG2 G1rev", 8, 128, 65536, 1, True),
         ("RCG3 G2fwd", 8, 128, 16384, 2, False),
+        # MMConv-shaped small-channel scan (d_model=3 -> d_inner=6 -> Dp=8);
+        # sideout2 scale (256^2 tokens)
+        ("MMC6 G2fwd", 8, 6, 65536, 2, False),
     ]:
+        if only and only not in tag:
+            continue
         N, R, W = 16, max(1, 64 // 16), 4
         args = (
             (f(B, G, D, L) * 0.5).astype(jnp.bfloat16),

@@ -31,7 +31,7 @@ def main(logdir: str = "/tmp/mmu_trace") -> int:
         trainer=dict(lr=1e-3, warmup=2, num_epochs=3000, weight_decay=0.05,
                      steps_per_epoch=10, optimizer="adamw")
     )
-    model = MM_Net(num_classes=1, remat=True)
+    model = MM_Net(num_classes=1, remat=os.environ.get("MMU_REMAT", "1") == "1")
     rng = jax.random.key(0)
     B, S = 8, 512
     x = jax.random.normal(jax.random.fold_in(rng, 1), (B, 3, S, S), jnp.float32)

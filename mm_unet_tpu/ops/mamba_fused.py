@@ -32,6 +32,7 @@ and reductions in f32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -587,7 +588,10 @@ def mamba_fused_scan(
     # vmem_limit_bytes is raised to 32 MB in its CompilerParams
     SBf, SBb = pick_sb(32), pick_sb(32)
     rBp = _round_up(R, 8)
-    T = 1024 if Dp <= 24 else 512
+    # small-channel scans are grid-overhead bound: longer chunks trade a few
+    # extra Hillis-Steele passes for 2-4x fewer grid steps (MMU_MEGA_T_SMALL
+    # is the A/B knob; 1024 measured best at Dp=8..24)
+    T = int(os.environ.get("MMU_MEGA_T_SMALL", "1024")) if Dp <= 24 else 512
     Lp = _round_up(L, T)
 
     cdtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
