@@ -63,9 +63,12 @@ def main(which: str = "all") -> int:
         if only and only not in tag:
             continue
         N, R, W = 16, max(1, 64 // 16), 4
+        xz = jnp.concatenate(
+            [(f(B, G, D, L) * 0.5).astype(jnp.bfloat16),
+             f(B, G, D, L).astype(jnp.bfloat16)], axis=2,
+        )
         args = (
-            (f(B, G, D, L) * 0.5).astype(jnp.bfloat16),
-            f(B, G, D, L).astype(jnp.bfloat16),
+            xz,
             f(G, D, W) * 0.3, f(G, D) * 0.1,
             f(G, R + 2 * N, D) * (D ** -0.5),
             f(G, D, R) * 0.3, f(G, D) * 0.1,
@@ -78,7 +81,7 @@ def main(which: str = "all") -> int:
             def loss(*a):
                 return jnp.sum(mamba_fused_scan(*a, reverse=rev) * 1e-3)
 
-            vjp = jax.jit(jax.grad(loss, argnums=tuple(range(9))))
+            vjp = jax.jit(jax.grad(loss, argnums=tuple(range(8))))
             print(f"{tag} f+b:  {timeit(vjp, args):7.2f} ms")
     return 0
 

@@ -139,16 +139,12 @@ class Mamba(nn.Module):
         bsz, _, L = xz_dirs[0].shape
         g, d_in = len(xz_dirs), self.d_inner
 
-        xs, zs = [], []
-        for xz in xz_dirs:
-            x, z = jnp.split(xz, 2, axis=1)
-            xs.append(x)
-            zs.append(z)
-
         def pack(lo, hi, reverse=False):
-            """Stack directions [lo, hi) and run one fused-kernel launch —
-            each launch stacks only its own directions (stack-then-slice
-            previously materialised an extra (B, G, D, L) copy per call)."""
+            """Stack directions [lo, hi) and run one fused-kernel launch.
+            xz stays PACKED (x rows then z rows, the in_proj layout) all the
+            way into the kernel — a single-direction launch is a pure view,
+            and a multi-direction launch is ONE stack instead of separate
+            x/z stacks."""
             sel = params[lo:hi]
             conv_w = jnp.stack([p[0] for p in sel]).astype(cdtype)  # (G, D, W)
             conv_b = (
@@ -159,10 +155,12 @@ class Mamba(nn.Module):
             dt_b = jnp.stack([p[4] for p in sel]).astype(jnp.float32)  # (G, D)
             A = -jnp.exp(jnp.stack([p[5] for p in sel]).astype(jnp.float32))
             d_skip = jnp.stack([p[6] for p in sel]).astype(jnp.float32)
-            x4 = jnp.stack(xs[lo:hi], axis=1)  # (B, G, D, L) raw pre-conv
-            z4 = jnp.stack(zs[lo:hi], axis=1)
+            if hi - lo == 1:
+                xz4 = xz_dirs[lo][:, None]  # (B, 1, 2D, L) view
+            else:
+                xz4 = jnp.stack(xz_dirs[lo:hi], axis=1)  # (B, G, 2D, L)
             return mamba_fused_scan(
-                x4, z4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip,
+                xz4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip,
                 reverse=reverse,
             )
 

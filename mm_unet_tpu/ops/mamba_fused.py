@@ -150,11 +150,14 @@ def _conv_streams(x_ref, xh_ref, cw_ref, lp, halo_ok, reverse, W, L, T):
     `halo_ok` is false on the sequence-boundary chunk -> zero halo, matching
     the conv's zero padding. `lp` is the chunk's physical (token-order) index.
 
+    x_ref/xh_ref are (1, 1, 1, Dp, T) blocks of the packed xz array (the
+    x half selected by the BlockSpec index map).
+
     Returns (xc32 f32 conv+silu masked to the real L tokens, pre-activation,
              valid-token mask, the W-1 shifted x streams, x32).
     """
-    x32 = x_ref[0, 0].astype(jnp.float32)
-    xh32 = xh_ref[0, 0].astype(jnp.float32)
+    x32 = x_ref[0, 0, 0].astype(jnp.float32)
+    xh32 = xh_ref[0, 0, 0].astype(jnp.float32)
     pre = x32 * cw_ref[0, :, W - 1 : W]
     shifted = []
     for k in range(1, W):
@@ -211,7 +214,7 @@ def _mega_fwd_kernel(
     _, dtr, Bv, Cv = _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N)
     dt = jax.nn.softplus(dtr)
     A2 = A_ref[0].astype(jnp.float32) * _LOG2E  # (Dp, N)
-    z = z_ref[0, 0].astype(jnp.float32)
+    z = z_ref[0, 0, 0].astype(jnp.float32)
     Dv = Dv_ref[0]
 
     Dp, T = u.shape
@@ -233,7 +236,7 @@ def _mega_fwd_kernel(
 def _mega_bwd_kernel(
     x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
     st_ref, dout_ref,
-    dx_ref, dz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
+    dxz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
     g_ref, af_ref, dpre_ref, *, reverse: bool, SB: int, N: int,
     W: int, L: int, T: int,
 ):
@@ -266,7 +269,7 @@ def _mega_bwd_kernel(
     dt = jax.nn.softplus(dtr)
     A = A_ref[0].astype(jnp.float32)
     A2 = A * _LOG2E
-    z = z_ref[0, 0].astype(jnp.float32)
+    z = z_ref[0, 0, 0].astype(jnp.float32)
     Dv = Dv_ref[0]
     dout = dout_ref[0, 0].astype(jnp.float32)
     h_in = st_ref[0, 0, 0]  # (Dp, N)
@@ -352,8 +355,8 @@ def _mega_bwd_kernel(
         sd = _shift_with_halo(dpre, dpc, k, li != 0, anticausal=not reverse)
         dxr = dxr + sd * cw_ref[0, :, W - 1 - k : W - k]
     dpre_ref[...] = dpre
-    dx_ref[0, 0] = dxr.astype(dx_ref.dtype)
-    dz_ref[0, 0] = dz_all.astype(dz_ref.dtype)
+    dxz_ref[0, 0, 0] = dxr.astype(dxz_ref.dtype)
+    dxz_ref[0, 0, 1] = dz_all.astype(dxz_ref.dtype)
 
     # conv weight/bias grads: tap j multiplies x[t -+ (W-1-j)]
     cols = [
@@ -386,17 +389,20 @@ def _mega_bwd_kernel(
 @functools.lru_cache(maxsize=None)
 def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                W: int, L: int, reverse: bool, interpret: bool):
-    """core(x (B,G,Dp,Lp) raw pre-conv bf16, z, cwb (G,Dp,8) conv taps+bias,
-    xp (G,rBp+2N,Dp), dtw (G,Dp,rBp), dtb (G,Dp,1), A (G,Dp,N),
-    Dv (G,Dp,1)) -> out (B,G,Dp,Lp) in the stream dtype."""
+    """core(xz (B,G,2,Dp,Lp) packed raw pre-conv + gate streams,
+    cwb (G,Dp,8) conv taps+bias, xp (G,rBp+2N,Dp), dtw (G,Dp,rBp),
+    dtb (G,Dp,1), A (G,Dp,N), Dv (G,Dp,1)) -> out (B,G,Dp,Lp) in the stream
+    dtype. x and z ride ONE packed operand (the in_proj output layout): the
+    kernel selects each half by BlockSpec index map, so the host never
+    materialises separate x/z copies, and the backward emits one packed dxz."""
 
     kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N,
                            W=W, L=L, T=T)
     kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N,
                            W=W, L=L, T=T)
 
-    def _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv):
-        Bsz, G, _, Lp = x.shape
+    def _fwd_call(xz, cwb, xp, dtw, dtb, A, Dv):
+        Bsz, G, _, _, Lp = xz.shape
         nL = Lp // T
         grid = (Bsz, G, nL)
         # physical chunk for processing step l (reversed group scans R->L)
@@ -404,16 +410,16 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
         # conv-halo neighbour in conv direction (prev token chunk for causal,
         # next for anti-causal); the boundary chunk's halo is masked in-kernel
         if reverse:
-            hf = lambda b, g, l: (b, g, 0, jnp.minimum(nL - l, nL - 1))
+            hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(nL - l, nL - 1))
         else:
-            hf = lambda b, g, l: (b, g, 0, jnp.maximum(l - 1, 0))
+            hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(l - 1, 0))
         out, st = pl.pallas_call(
             kf,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
-                pl.BlockSpec((1, 1, Dp, T), hf),
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, 1, Dp, T), lambda b, g, l: (b, g, 0, 0, lp(l))),
+                pl.BlockSpec((1, 1, 1, Dp, T), hf),
+                pl.BlockSpec((1, 1, 1, Dp, T), lambda b, g, l: (b, g, 1, 0, lp(l))),
                 pl.BlockSpec((1, Dp, 8), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, rBp + 2 * N, Dp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, rBp), lambda b, g, l: (g, 0, 0)),
@@ -430,7 +436,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 # f32 in-kernel; emitting bf16 halves the output HBM traffic
                 # and keeps the downstream direction-sum + out_proj einsum on
                 # the MXU's native dtype (f32 out forced an f32 einsum)
-                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((Bsz, G, Dp, Lp), xz.dtype),
                 jax.ShapeDtypeStruct((Bsz, G, nL, Dp, N), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((Dp, N, 1), jnp.float32)],
@@ -438,11 +444,11 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(x, x, z, cwb, xp, dtw, dtb, A, Dv)
+        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv)
         return out, st
 
-    def _bwd_call(x, z, cwb, xp, dtw, dtb, A, Dv, st, dout):
-        Bsz, G, _, Lp = x.shape
+    def _bwd_call(xz, cwb, xp, dtw, dtb, A, Dv, st, dout):
+        Bsz, G, _, _, Lp = xz.shape
         nL = Lp // T
         grid = (Bsz, G, nL)
         # adjoint runs opposite to the data flow
@@ -450,16 +456,16 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
         # conv halo for the recompute: same token-direction neighbour as fwd,
         # expressed in the adjoint's processing order
         if reverse:
-            hf = lambda b, g, l: (b, g, 0, jnp.minimum(l + 1, nL - 1))
+            hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(l + 1, nL - 1))
         else:
-            hf = lambda b, g, l: (b, g, 0, jnp.maximum(nL - 2 - l, 0))
+            hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(nL - 2 - l, 0))
         outs = pl.pallas_call(
             kb,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
-                pl.BlockSpec((1, 1, Dp, T), hf),
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, 1, Dp, T), lambda b, g, l: (b, g, 0, 0, lp(l))),
+                pl.BlockSpec((1, 1, 1, Dp, T), hf),
+                pl.BlockSpec((1, 1, 1, Dp, T), lambda b, g, l: (b, g, 1, 0, lp(l))),
                 pl.BlockSpec((1, Dp, 8), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, rBp + 2 * N, Dp), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, rBp), lambda b, g, l: (g, 0, 0)),
@@ -470,8 +476,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
-                pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                pl.BlockSpec((1, 1, 2, Dp, T), lambda b, g, l: (b, g, 0, 0, lp(l))),
                 pl.BlockSpec((1, 1, Dp, 8), lambda b, g, l: (b, g, 0, 0)),
                 pl.BlockSpec((1, 1, rBp + 2 * N, Dp), lambda b, g, l: (b, g, 0, 0)),
                 pl.BlockSpec((1, 1, Dp, rBp), lambda b, g, l: (b, g, 0, 0)),
@@ -480,13 +485,13 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, 1, Dp, 1), lambda b, g, l: (b, g, 0, 0)),
             ],
             out_shape=[
-                # dx/dz in the stream dtype (in-kernel arithmetic is f32; the
-                # host previously converted these (B,G,Dp,L)-sized f32 outputs
-                # to bf16 anyway — emitting them directly halves the write
-                # traffic and kills the conversions). Param-grad accumulators
-                # stay f32.
-                jax.ShapeDtypeStruct(x.shape, x.dtype),
-                jax.ShapeDtypeStruct(x.shape, z.dtype),
+                # dxz packed in the stream dtype (in-kernel arithmetic is f32;
+                # the host previously converted separate (B,G,Dp,L)-sized f32
+                # dx/dz to bf16 anyway — the packed bf16 output halves the
+                # write traffic, kills the conversions AND the dx/dz concat
+                # copy the autodiff of split/stack used to insert).
+                # Param-grad accumulators stay f32.
+                jax.ShapeDtypeStruct(xz.shape, xz.dtype),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, 8), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, rBp + 2 * N, Dp), jnp.float32),
                 jax.ShapeDtypeStruct((Bsz, G, Dp, rBp), jnp.float32),
@@ -507,28 +512,27 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 vmem_limit_bytes=32 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(x, x, z, cwb, xp, dtw, dtb, A, Dv, st, dout)
+        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv, st, dout)
         return outs
 
     @jax.custom_vjp
-    def core(x, z, cwb, xp, dtw, dtb, A, Dv):
-        out, _ = _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv)
+    def core(xz, cwb, xp, dtw, dtb, A, Dv):
+        out, _ = _fwd_call(xz, cwb, xp, dtw, dtb, A, Dv)
         return out
 
-    def core_fwd(x, z, cwb, xp, dtw, dtb, A, Dv):
-        out, st = _fwd_call(x, z, cwb, xp, dtw, dtb, A, Dv)
-        return out, (x, z, cwb, xp, dtw, dtb, A, Dv, st)
+    def core_fwd(xz, cwb, xp, dtw, dtb, A, Dv):
+        out, st = _fwd_call(xz, cwb, xp, dtw, dtb, A, Dv)
+        return out, (xz, cwb, xp, dtw, dtb, A, Dv, st)
 
     def core_bwd(res, dout):
-        x, z, cwb, xp, dtw, dtb, A, Dv, st = res
+        xz, cwb, xp, dtw, dtb, A, Dv, st = res
         # dout passes in its native (stream) dtype — the kernel casts to f32
         # on read (line `dout = dout_ref[0, 0].astype(jnp.float32)`)
-        dx, dz, dcw, dxp, ddtw, ddtb, dA, dD = _bwd_call(
-            x, z, cwb, xp, dtw, dtb, A, Dv, st, dout
+        dxz, dcw, dxp, ddtw, ddtb, dA, dD = _bwd_call(
+            xz, cwb, xp, dtw, dtb, A, Dv, st, dout
         )
         return (
-            dx.astype(x.dtype),
-            dz.astype(z.dtype),
+            dxz.astype(xz.dtype),
             jnp.sum(dcw, axis=0).astype(cwb.dtype),
             jnp.sum(dxp, axis=0).astype(xp.dtype),
             jnp.sum(ddtw, axis=0).astype(dtw.dtype),
@@ -542,8 +546,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
 
 
 def mamba_fused_scan(
-    x: Array,           # (B, G, D, L) RAW pre-conv stream, any float dtype
-    z: Array,           # (B, G, D, L) gate stream
+    xz: Array,          # (B, G, 2*D, L) packed in_proj output: x rows then z
     conv_w: Array,      # (G, D, W) depthwise causal conv taps
     conv_b: Optional[Array],  # (G, D) conv bias or None
     x_proj: Array,      # (G, R+2N, D)
@@ -558,8 +561,10 @@ def mamba_fused_scan(
 
     The causal depthwise conv + SiLU runs INSIDE the scan kernel (chunk halo
     from a neighbour-chunk BlockSpec view), mirroring the reference's
-    `mamba_inner_fn_no_out_proj` fusion boundary exactly: raw in_proj streams
-    in, gated scan output out — dt/B/C/x_conv never touch HBM.
+    `mamba_inner_fn_no_out_proj` fusion boundary exactly: the raw in_proj
+    output goes in PACKED — rows [0:D) the conv/scan stream, rows [D:2D) the
+    gate — and the kernel selects each half by BlockSpec index map, so
+    separate x/z copies, dt/B/C and x_conv never touch HBM.
 
     Returns (B, G, D, L) gated scan outputs in the stream dtype (bf16 in
     perf configs; scan state stays f32 in-kernel). `reverse=True` scans every
@@ -568,10 +573,12 @@ def mamba_fused_scan(
     """
     if interpret is None:
         interpret = not any(d.platform == "tpu" for d in jax.devices())
-    Bsz, G, D, L = x.shape
+    Bsz, G, D2, L = xz.shape
+    D = D2 // 2
     R = dt_w.shape[2]
     N = A.shape[2]
     W = conv_w.shape[2]
+    assert D2 == 2 * D and conv_w.shape[1] == D, "xz must pack (x, z) along dim 2"
     assert N % 8 == 0, "d_state must be a multiple of 8 for the fused kernel"
     assert W <= 7, "conv width must fit the packed (taps..., bias) 8-lane tile"
 
@@ -594,11 +601,14 @@ def mamba_fused_scan(
     T = int(os.environ.get("MMU_MEGA_T_SMALL", "1024")) if Dp <= 24 else 512
     Lp = _round_up(L, T)
 
-    cdtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+    cdtype = jnp.bfloat16 if xz.dtype == jnp.bfloat16 else xz.dtype
     pad_d, pad_l = Dp - D, Lp - L
 
-    def pad_x(v):
-        return jnp.pad(v.astype(cdtype), ((0, 0), (0, 0), (0, pad_d), (0, pad_l)))
+    # (B, G, 2D, L) -> (B, G, 2, Dp, Lp): the row split is a free reshape;
+    # the pad is a no-op at production sizes (D % 8 == 0, L % T == 0)
+    xzp = xz.astype(cdtype).reshape(Bsz, G, 2, D, L)
+    if pad_d or pad_l:
+        xzp = jnp.pad(xzp, ((0, 0), (0, 0), (0, 0), (0, pad_d), (0, pad_l)))
 
     # conv taps in f32 lanes 0..W-1, bias in lane W (the kernel reads f32;
     # weights were already rounded to the stream dtype by the caller when
@@ -619,5 +629,5 @@ def mamba_fused_scan(
     D_pad = jnp.pad(D_skip.astype(jnp.float32), ((0, 0), (0, pad_d)))[..., None]
 
     core = _mega_core(T, Dp, SBf, SBb, N, rBp, W, L, bool(reverse), bool(interpret))
-    out = core(pad_x(x), pad_x(z), cwb, xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
+    out = core(xzp, cwb, xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
     return out[:, :, :D, :L]

@@ -15,10 +15,11 @@ from mm_unet_tpu.ops.causal_conv1d import causal_conv1d
 from mm_unet_tpu.ops.mamba_fused import mamba_fused_scan
 from mm_unet_tpu.ops.selective_scan import selective_scan_ref
 
-ARGNAMES = ["x", "z", "conv_w", "conv_b", "x_proj", "dt_w", "dt_b", "A", "D"]
+ARGNAMES = ["xz", "conv_w", "conv_b", "x_proj", "dt_w", "dt_b", "A", "D"]
 
 
-def _ref_path(x, z, conv_w, conv_b, x_proj, dt_w, dt_b, A, D_skip, reverse):
+def _ref_path(xz, conv_w, conv_b, x_proj, dt_w, dt_b, A, D_skip, reverse):
+    x, z = jnp.split(xz, 2, axis=2)
     B, G, D, L = x.shape
     outs = []
     for g in range(G):
@@ -42,8 +43,9 @@ def _make(D, L, G, seed=0, W=4):
     rng = np.random.default_rng(seed)
     N, R, B = 16, max(1, D // 32), 2
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    xz = jnp.concatenate([f(B, G, D, L) * 0.5, f(B, G, D, L)], axis=2)
     return (
-        f(B, G, D, L) * 0.5, f(B, G, D, L), f(G, D, W) * 0.4, f(G, D) * 0.1,
+        xz, f(G, D, W) * 0.4, f(G, D) * 0.1,
         f(G, R + 2 * N, D) * (D ** -0.5),
         f(G, D, R) * 0.3, f(G, D) * 0.1, -jnp.exp(f(G, D, N) * 0.5), f(G, D),
     )
@@ -52,9 +54,9 @@ def _make(D, L, G, seed=0, W=4):
 def _assert_grads(args, got_shape, reverse, rtol=5e-3, atol=5e-3, seed=1):
     w = jnp.asarray(np.random.default_rng(seed).standard_normal(got_shape), jnp.float32)
     gm = jax.grad(lambda *a: jnp.sum(mamba_fused_scan(*a, reverse=reverse).astype(jnp.float32) * w),
-                  argnums=tuple(range(9)))(*args)
+                  argnums=tuple(range(8)))(*args)
     gr = jax.grad(lambda *a: jnp.sum(_ref_path(*a, reverse=reverse) * w),
-                  argnums=tuple(range(9)))(*args)
+                  argnums=tuple(range(8)))(*args)
     for name, a, b in zip(ARGNAMES, gm, gr):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         np.testing.assert_allclose(
@@ -96,7 +98,7 @@ def test_mega_multichunk_gradients(D, L, reverse):
 def test_mega_no_conv_bias():
     """conv_b=None follows the Mamba conv_bias=False configuration."""
     args = list(_make(16, 96, 1, seed=7))
-    args[3] = None
+    args[2] = None  # conv_b
     got = mamba_fused_scan(*args)
     want = _ref_path(*args, reverse=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
@@ -114,7 +116,7 @@ def test_mega_conv_widths(W):
 def test_mega_bf16_streams():
     """bf16 inputs follow the production MM_Net configuration."""
     args = _make(24, 128, 2, seed=3)
-    bf = [a.astype(jnp.bfloat16) for a in args[:2]] + list(args[2:])
+    bf = [args[0].astype(jnp.bfloat16)] + list(args[1:])
     got = mamba_fused_scan(*bf)
     want = _ref_path(*[a.astype(jnp.float32) for a in bf], reverse=False)
     np.testing.assert_allclose(
