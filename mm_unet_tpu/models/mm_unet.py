@@ -189,6 +189,18 @@ class _TapConv(nn.Module):
             )
             return out + bias.astype(out.dtype)
 
+        # TPU: fused Pallas kernel — the 2-hot hat matrix lives one VMEM tile
+        # at a time instead of as a (B, H, W, K, H) HBM tensor (~20 ms/step of
+        # HBM traffic across the MM_Net stages, profiled round 3). The XLA
+        # matmul path below stays for CPU, odd widths, and A/B isolation
+        # (MMU_TAP_IMPL=xla).
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        if (on_tpu and w % 8 == 0
+                and _os.environ.get("MMU_TAP_IMPL", "pallas") == "pallas"):
+            from mm_unet_tpu.ops.tap_conv import tap_conv
+
+            return tap_conv(feat, y_coords, kernel, bias, x_shifts)
+
         kb = kernel.astype(feat.dtype)
         # bilinear hat: 2-hot row-interpolation weights (see
         # layers.deform_sample_rows_matmul). Built in f32 regardless of the
@@ -249,11 +261,16 @@ def _conv_wgrad_bwd(res, g):
         x,
     )[1](g.astype(x.dtype))[0]
     # weight grad: im2col patches (feature order channel-major: (c, kh, kw))
-    # contracted against the cotangent on the MXU
+    # contracted against the cotangent on the MXU. In bf16 feature configs
+    # the patches/cotangent feed the dot in bf16 (f32 accumulation via
+    # preferred_element_type) — the f32 patches tensor was ~3 ms/step of HBM
+    # traffic at 256² (r3 trace); f32 configs stay f32 (parity).
+    pdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
     p = jax.lax.conv_general_dilated_patches(
-        x, (kh, kw), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x.astype(pdt), (kh, kw), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ).reshape(-1, cin * kh * kw)
-    dk = jnp.einsum("pf,po->fo", p, g.reshape(-1, cout),
+    dk = jnp.einsum("pf,po->fo", p, g.reshape(-1, cout).astype(pdt),
                     preferred_element_type=jnp.float32)
     dk = dk.reshape(cin, kh, kw, cout).transpose(1, 2, 0, 3)
     return dx, dk.astype(kernel.dtype)
