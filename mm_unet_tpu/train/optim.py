@@ -60,6 +60,66 @@ def warmup_cosine_epoch_schedule(
     return schedule
 
 
+def flat_adamw(
+    lr,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    eps: float = 1e-8,
+    weight_decay: float = 0.05,
+    mask_tree=None,
+    clip_norm: float | None = None,
+) -> optax.GradientTransformation:
+    """AdamW over ONE raveled parameter vector — numerically identical to
+    `optax.adamw(..., mask=mask_tree)` but fused: a model with hundreds of
+    parameter leaves otherwise lowers to hundreds of tiny per-leaf XLA
+    fusions (measured ~10 ms/step of dispatch-bound f32[64]-sized kernels in
+    the MM_Net train step); on the flat vector the whole update is a handful
+    of large elementwise ops.
+
+    State: (count, m, v, wd) with m/v/wd flat f32 vectors; `wd` is the
+    weight-decay mask baked at init from `mask_tree` (see `wd_mask`).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def _lr(count):
+        return lr(count) if callable(lr) else jnp.asarray(lr, jnp.float32)
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        mt = mask_tree if mask_tree is not None else wd_mask(params)
+        wd_vec, _ = ravel_pytree(
+            jax.tree_util.tree_map(
+                lambda p, m: jnp.full(p.shape, float(m), p.dtype), params, mt
+            )
+        )
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "m": jnp.zeros_like(flat),
+            "v": jnp.zeros_like(flat),
+            "wd": wd_vec,
+        }
+
+    def update(grads, state, params):
+        g, unravel = ravel_pytree(grads)
+        p, _ = ravel_pytree(params)
+        if clip_norm is not None:
+            gn = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, clip_norm / jnp.maximum(gn, 1e-12))
+        count = state["count"] + 1
+        m = b1 * state["m"] + (1.0 - b1) * g
+        v = b2 * state["v"] + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mhat = m / (1.0 - b1**c)
+        vhat = v / (1.0 - b2**c)
+        u = mhat / (jnp.sqrt(vhat) + eps) + weight_decay * state["wd"] * p
+        # optax's scale_by_schedule evaluates the schedule at the PRE-increment
+        # count (first update sees lr(0)) — match it exactly
+        u = -_lr(state["count"]) * u
+        return unravel(u), {"count": count, "m": m, "v": v, "wd": state["wd"]}
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params,
     opt: str = "adamw",
@@ -67,11 +127,20 @@ def build_optimizer(
     weight_decay: float = 0.05,
     betas: tuple[float, float] = (0.9, 0.95),
     clip_norm: float | None = None,
+    flat: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW with decoupled weight decay masked like timm's param-group
-    filtering. `lr` may be a float or an optax schedule."""
+    filtering. `lr` may be a float or an optax schedule. `flat=True` (default)
+    uses the fused single-vector implementation (`flat_adamw`, update-parity
+    tested against optax in tests/test_optim.py); `flat=False` keeps the
+    per-leaf optax transformation."""
     if opt.lower() != "adamw":
         raise NotImplementedError(f"optimizer {opt!r}")
+    if flat:
+        return flat_adamw(
+            lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
+            mask_tree=wd_mask(params), clip_norm=clip_norm,
+        )
     tx = optax.adamw(
         lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay, mask=wd_mask(params)
     )
