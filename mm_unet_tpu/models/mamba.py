@@ -132,43 +132,35 @@ class Mamba(nn.Module):
         no materialised conv output or dt/B/C streams.
 
         xz_dirs order: forward[, slice-interleaved][, reverse] (reverse LAST,
-        in natural token order). Returns (y_nonrev (B, G', D, L), y_rev or
-        None) in the stream dtype, each in its own token domain.
+        in natural token order). Returns a list of (B, D, L) per-direction
+        outputs in the stream dtype, each in its own token domain.
+
+        Every direction launches separately on a (B, 1, 2D, L) VIEW of its
+        xz — never a jnp.stack. The grid work is identical to a G-batched
+        launch, and the (B, G, 2D, L) direction-stack copies (plus their
+        backward-side unstack/pad fusions) disappear from the step.
         """
         cdtype = self.dtype or xz_dirs[0].dtype
-        bsz, _, L = xz_dirs[0].shape
-        g, d_in = len(xz_dirs), self.d_inner
 
-        def pack(lo, hi, reverse=False):
-            """Stack directions [lo, hi) and run one fused-kernel launch.
-            xz stays PACKED (x rows then z rows, the in_proj layout) all the
-            way into the kernel — a single-direction launch is a pure view,
-            and a multi-direction launch is ONE stack instead of separate
-            x/z stacks."""
-            sel = params[lo:hi]
-            conv_w = jnp.stack([p[0] for p in sel]).astype(cdtype)  # (G, D, W)
-            conv_b = (
-                jnp.stack([p[1] for p in sel]) if sel[0][1] is not None else None
-            )
-            x_proj = jnp.stack([p[2] for p in sel]).astype(cdtype)  # (G, R+2N, D)
-            dt_w = jnp.stack([p[3] for p in sel]).astype(cdtype)  # (G, D, R)
-            dt_b = jnp.stack([p[4] for p in sel]).astype(jnp.float32)  # (G, D)
-            A = -jnp.exp(jnp.stack([p[5] for p in sel]).astype(jnp.float32))
-            d_skip = jnp.stack([p[6] for p in sel]).astype(jnp.float32)
-            if hi - lo == 1:
-                xz4 = xz_dirs[lo][:, None]  # (B, 1, 2D, L) view
-            else:
-                xz4 = jnp.stack(xz_dirs[lo:hi], axis=1)  # (B, G, 2D, L)
+        def one(i, reverse=False):
+            p = params[i]
+            conv_w = p[0][None].astype(cdtype)  # (1, D, W)
+            conv_b = p[1][None] if p[1] is not None else None
+            x_proj = p[2][None].astype(cdtype)  # (1, R+2N, D)
+            dt_w = p[3][None].astype(cdtype)  # (1, D, R)
+            dt_b = p[4][None].astype(jnp.float32)  # (1, D)
+            A = -jnp.exp(p[5][None].astype(jnp.float32))
+            d_skip = p[6][None].astype(jnp.float32)
             return mamba_fused_scan(
-                xz4, conv_w, conv_b, x_proj, dt_w, dt_b, A, d_skip,
-                reverse=reverse,
-            )
+                xz_dirs[i][:, None], conv_w, conv_b, x_proj, dt_w, dt_b,
+                A, d_skip, reverse=reverse,
+            )[:, 0]
 
-        if not has_rev:
-            return pack(0, g), None
-        y_nr = pack(0, g - 1)
-        y_r = pack(g - 1, g, reverse=True)
-        return y_nr, y_r[:, 0]
+        g = len(xz_dirs)
+        ys = [one(i) for i in range(g - 1 if has_rev else g)]
+        if has_rev:
+            ys.append(one(g - 1, reverse=True))
+        return ys
 
     def _fused_scan(self, xz_dirs: list[Array], params: list) -> Array:
         """All directions of `mamba_inner_fn_no_out_proj`
@@ -279,19 +271,34 @@ class Mamba(nn.Module):
             dirs = [xz]
             params = [self._dir_params("")]
             if bt == "v3":
-                dirs.append(interleave(xz))
+                # interleave the TOKENS (B, L, d_model) and re-project rather
+                # than interleaving the (B, 2*D_in, L) xz: in_proj is
+                # per-token, so the results agree — but the permuted copy is
+                # expand*2 x smaller and the extra einsum is MXU-cheap
+                x_il = (
+                    x.reshape(batch, self.nslices, seqlen // self.nslices, -1)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(batch, seqlen, self.d_model)
+                )
+                xz_s = jnp.einsum("bld,ed->bel", x_il, in_proj.astype(cdtype))
+                if self.bias:
+                    xz_s = xz_s + in_b.astype(cdtype)[None, :, None]
+                dirs.append(xz_s)
                 params.append(self._dir_params("_s"))
             if bt in ("v2", "v3"):
                 dirs.append(xz)
                 params.append(self._dir_params("_b"))
-            y_nr, y_rev = self._mega_scan(dirs, params, has_rev=bt in ("v2", "v3"))
-            o_1 = y_nr[:, 0]
+            ys = self._mega_scan(dirs, params, has_rev=bt in ("v2", "v3"))
+            o_1 = ys[0]
             out_dirs = o_1
             if bt == "v3":
-                # o_3 is returned un-interleaved (reference mamba_simple.py:263-269)
-                o_3 = uninterleave(y_nr[:, 1])
-                out_dirs = out_dirs + o_3
+                # o_3 is returned un-interleaved (reference mamba_simple.py:263-269);
+                # the (B, D_in, L) permuted copy only materialises if the
+                # caller keeps it — the out_proj sum below un-interleaves
+                # AFTER the projection on the expand*2 x smaller token tensor
+                o_3 = uninterleave(ys[1])
             if bt in ("v2", "v3"):
+                y_rev = ys[-1]
                 out_dirs = out_dirs + y_rev
                 # reference-domain (flipped) auxiliary return; XLA removes the
                 # flip when the caller drops it (most do)
@@ -320,6 +327,17 @@ class Mamba(nn.Module):
             "out_proj_weight", nn.initializers.lecun_normal(), (self.d_model, d_in)
         )
         out = jnp.einsum("bdl,ed->ble", out_dirs, out_proj.astype(cdtype))
+        if use_mega and bt == "v3":
+            # slice direction: project in its own token domain, un-interleave
+            # the (B, L, d_model) result — the permuted copy shrinks by
+            # expand*2 vs un-interleaving the (B, D_in, L) scan output
+            ns = self.nslices
+            o3p = jnp.einsum("bdl,ed->ble", ys[1], out_proj.astype(cdtype))
+            out = out + (
+                o3p.reshape(batch, seqlen // ns, ns, -1)
+                .transpose(0, 2, 1, 3)
+                .reshape(batch, seqlen, self.d_model)
+            )
         if self.bias:
             out_b = self.param("out_proj_bias", nn.initializers.zeros, (self.d_model,))
             out = out + out_b.astype(cdtype)
