@@ -8,28 +8,33 @@ row y[b,h,w,j] (bilinear between floor/ceil rows).
 
 The XLA formulation (`models/mm_unet._TapConv`) expresses the row
 interpolation as a 2-hot (H_out x H_src) "hat" matrix per (b, w, tap) and
-contracts it on the MXU — correct and fast, but the hat tensor
-(B, H, W, K, H_src) is materialised in HBM: ~0.8 GB per build at the 256²
-stage, re-read by every tap einsum and rebuilt in backward (~20 ms/step of
-pure HBM traffic across the MM_Net stages, profiled round 3).
+contracts it on the MXU — correct, but the hat is 2-sparse: the matmul
+spends S/2 = 128x the useful FLOPs and the (B, H, W, K, H_src) hat tensor
+lives in HBM.
 
-This kernel builds the hat matrix ONE (H_src, H_out) tile at a time in VMEM
-and runs both contractions (sample + channel projection) in-kernel, so the
-hat never touches HBM. Column taps cross pallas tile boundaries through
-neighbour-block views (same trick as the megakernel conv halo); out-of-range
-columns replicate the edge column, matching `_TapConv`'s clamped shifts.
+This kernel does the sampling as a VPU **lane gather**: features ride
+W-major, row-minor (B, W, C, S) so each tap is two `take_along_axis` lane
+gathers (floor/ceil rows) + a lerp, done piecewise over 128-lane source
+vregs (Mosaic gathers within one source vreg; `pltpu.repeat` materialises
+the per-row index across sublanes — a plain broadcast lowers to an
+unsupported replicated-layout i32 broadcast). The channel projection is one
+(K*C, F) x (K*C, Ho) MXU dot per column. Measured vs the hat-matmul kernel
+at stage-1 geometry (S=Ho=256, C=64, K=3): 0.88 ms vs 2.2 ms forward.
 
-Work layout: grid (B, W/TW); operands transposed to W-major (B, W, H, C) on
-the host so per-column (H, C) slices are layout-free in-kernel.
+Column taps cross pallas tile boundaries through neighbour-block views (same
+trick as the megakernel conv halo); out-of-range columns replicate the edge
+column, matching `_TapConv`'s clamped shifts.
 
-Backward (custom VJP) recomputes the hat tiles and emits dfeat (with a
-2*hw-column halo side-output folded on the host), dyc, dkernel, dbias.
+Backward (custom VJP) re-gathers the taps and emits dyc (lerp slope),
+dkernel and dbias directly; only dfeat — the adjoint scatter of the gather,
+which Mosaic cannot express — uses one hat-matmul per (w, tap):
+dfeatT = dtapT @ hat, accumulated in a (TW + 2*hw, C, S) scratch whose halo
+columns are folded on the host.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -40,9 +45,9 @@ Array = jax.Array
 
 
 def _xs_col(fc_ref, fl_ref, fr_ref, c, TW, i, nW):
-    """Source column c (may be out of [0, TW)) of the centre tile, reading the
-    neighbour tile across the edge, or replicating the edge column at the
-    sequence boundary (clamped-shift semantics of `_TapConv`)."""
+    """Source column c (may be out of [0, TW)) of the centre tile as (C, S),
+    reading the neighbour tile across the edge, or replicating the edge
+    column at the sequence boundary (clamped-shift semantics of `_TapConv`)."""
     if 0 <= c < TW:
         return fc_ref[0, c]
     if c < 0:
@@ -60,68 +65,104 @@ def _hat_t(yc_lane, S, Ho, cdtype):
     return jnp.maximum(0.0, 1.0 - jnp.abs(s_io - yc_lane[None, :])).astype(cdtype)
 
 
+def _gather_tap(xs, yc_row, C, S, Ho):
+    """Bilinear row-sample of one column: xs (C, S) f32, yc_row (1, Ho) f32
+    pre-clipped to [0, S-1] -> (tap (C, Ho) f32, lo, hi, frac).
+
+    Mosaic lane-gathers address a single 128-lane source vreg, so the source
+    is walked in 128-lane pieces with a select; indices/fracs are
+    sublane-materialised with pltpu.repeat (vector.broadcast of i32 from a
+    1-sublane vreg is not implemented)."""
+    fl = jnp.clip(jnp.floor(yc_row), 0, max(S - 2, 0))  # (1, Ho)
+    frac = pltpu.repeat(yc_row - fl, C, axis=0)  # (C, Ho)
+    idx = pltpu.repeat(fl.astype(jnp.int32), C, axis=0)
+    # the lowering requires idx.shape == source.shape, so both the source
+    # rows and the output positions walk in matching <=128-lane chunks
+    # (Ho == S, so the chunkings line up)
+    nP = -(-S // 128)
+    los, his = [], []
+    for q in range(nP):
+        qw = min(128, Ho - q * 128)
+        iq = idx[:, q * 128 : q * 128 + qw]
+        lo = jnp.zeros((C, qw), jnp.float32)
+        hi = jnp.zeros((C, qw), jnp.float32)
+        for p in range(nP):
+            piece = xs[:, p * 128 : min((p + 1) * 128, S)]
+            pw = piece.shape[1]
+            if pw != qw:  # ragged tail: pad the piece to the chunk width
+                piece = jnp.pad(piece, ((0, 0), (0, qw - pw)))
+            g = jnp.take_along_axis(piece, jnp.clip(iq - p * 128, 0, pw - 1), axis=1)
+            lo = jnp.where((iq >= p * 128) & (iq < p * 128 + pw), g, lo)
+            g1 = jnp.take_along_axis(piece, jnp.clip(iq + 1 - p * 128, 0, pw - 1), axis=1)
+            hi = jnp.where((iq + 1 >= p * 128) & (iq + 1 < p * 128 + pw), g1, hi)
+        los.append(lo)
+        his.append(hi)
+    lo = los[0] if nP == 1 else jnp.concatenate(los, axis=1)
+    hi = his[0] if nP == 1 else jnp.concatenate(his, axis=1)
+    return lo * (1.0 - frac) + hi * frac, lo, hi, frac
+
+
 def _tap_fwd_kernel(fc_ref, fl_ref, fr_ref, yc_ref, kb_ref, b_ref, out_ref,
                     *, K, TW, S, Ho, shifts, nW):
     i = pl.program_id(1)
+    C = fc_ref.shape[2]
+    F = kb_ref.shape[2]
+    cdt = fc_ref.dtype
+    kcat = kb_ref[...].reshape(K * C, F)
     for w in range(TW):
-        acc = None
+        taps = []
         for j, dx in enumerate(shifts):
-            xs = _xs_col(fc_ref, fl_ref, fr_ref, w + dx, TW, i, nW)  # (S, C)
-            mt = _hat_t(yc_ref[0, w, j], S, Ho, xs.dtype)  # (S, Ho)
-            tap = jax.lax.dot_general(  # m @ xs -> (Ho, C)
-                mt, xs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(xs.dtype)
-            prj = jax.lax.dot_general(  # tap @ kb[j] -> (Ho, F)
-                tap, kb_ref[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            xs = _xs_col(fc_ref, fl_ref, fr_ref, w + dx, TW, i, nW)
+            tap, _, _, _ = _gather_tap(
+                xs.astype(jnp.float32), yc_ref[0, w, j][None], C, S, Ho
             )
-            acc = prj if acc is None else acc + prj
-        out_ref[0, w] = (acc + b_ref[0]).astype(out_ref.dtype)
+            taps.append(tap.astype(cdt))
+        tcat = jnp.concatenate(taps, axis=0)  # (K*C, Ho)
+        prj = jax.lax.dot_general(  # kcat^T @ tcat -> (F, Ho)
+            kcat, tcat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, w] = (prj + b_ref[...]).astype(out_ref.dtype)
 
 
 def _tap_bwd_kernel(fc_ref, fl_ref, fr_ref, yc_ref, kb_ref, dy_ref,
                     df_ref, dh_ref, dyc_ref, dk_ref, ds_ref,
                     *, K, TW, S, Ho, shifts, nW, hw):
     i = pl.program_id(1)
+    C = fc_ref.shape[2]
 
     @pl.when(i == 0)
     def _():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
 
-    ds_ref[...] = jnp.zeros_like(ds_ref)  # (TW + 2hw, S, C) column accumulator
+    ds_ref[...] = jnp.zeros_like(ds_ref)  # (TW + 2hw, C, S) column accumulator
 
     for w in range(TW):
-        dy = dy_ref[0, w].astype(jnp.float32)  # (Ho, F)
+        dy = dy_ref[0, w].astype(jnp.float32)  # (F, Ho)
+        dy_c = dy.astype(fc_ref.dtype)
         for j, dx in enumerate(shifts):
-            xs = _xs_col(fc_ref, fl_ref, fr_ref, w + dx, TW, i, nW)  # (S, C)
+            xs = _xs_col(fc_ref, fl_ref, fr_ref, w + dx, TW, i, nW)
             yc = yc_ref[0, w, j]  # (Ho,) f32
-            mt = _hat_t(yc, S, Ho, xs.dtype)
-            dtap = jax.lax.dot_general(  # dy @ kb[j]^T -> (Ho, C)
-                dy.astype(xs.dtype), kb_ref[j], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            tap, lo, hi, _ = _gather_tap(
+                xs.astype(jnp.float32), yc[None], C, S, Ho
             )
-            # dkernel[j] += tap^T @ dy
-            tap = jax.lax.dot_general(
-                mt, xs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(xs.dtype)
+            # dkernel[j] += tap @ dy^T -> (C, F)
             dk_ref[0, j] += jax.lax.dot_general(
-                tap, dy.astype(xs.dtype), (((0,), (0,)), ((), ())),
+                tap.astype(fc_ref.dtype), dy_c, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # dyc: dm[s,h] = xs @ dtap^T; dyc[h] = sum_s dm * dhat/dyc
-            dtap_c = dtap.astype(xs.dtype)
-            dmt = jax.lax.dot_general(  # (S, Ho)
-                xs, dtap_c, (((1,), (1,)), ((), ())),
+            # dtapT = kb[j] @ dy -> (C, Ho)
+            dtap = jax.lax.dot_general(
+                kb_ref[j], dy_c, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            d = jax.lax.broadcasted_iota(jnp.int32, (S, Ho), 0).astype(jnp.float32) - yc[None, :]
-            ghat = jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0)
-            dyc_ref[0, w, j] = jnp.sum(dmt * ghat, axis=0)
-            # dfeat column: m^T-grad: dxs = m @ dtap -> (S, C)
+            # dyc: lerp slope hi - lo (the hat subgradient at fractional yc)
+            dyc_ref[0, w, j] = jnp.sum(dtap * (hi - lo), axis=0)
+            # dfeat: adjoint of the row gather — the only hat matmul left:
+            # dfeatT (C, S) = dtapT @ hat^T with hat (S, Ho)
+            mt = _hat_t(yc, S, Ho, fc_ref.dtype)
             dxs = jax.lax.dot_general(
-                mt, dtap_c, (((1,), (0,)), ((), ())),
+                dtap.astype(fc_ref.dtype), mt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds_ref[hw + w + dx] += dxs
@@ -136,8 +177,8 @@ def _tap_bwd_kernel(fc_ref, fl_ref, fr_ref, yc_ref, kb_ref, dy_ref,
 @functools.lru_cache(maxsize=None)
 def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
               shifts: tuple, cdtype_name: str, interpret: bool):
-    """core(ft (B,W,S,C), yt (B,W,K,Ho) f32, kb (K,C,F), bias (1,F)) ->
-    out (B,W,Ho,F). Ho == S (output rows == source rows for morph-0)."""
+    """core(ft (B,W,C,S), yt (B,W,K,Ho) f32, kb (K,C,F), bias (F,1)) ->
+    out (B,W,F,Ho). Ho == S (output rows == source rows for morph-0)."""
     Ho = S
     nW = W // TW
     hw = max((abs(d) for d in shifts), default=0)
@@ -149,9 +190,9 @@ def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
                              shifts=shifts, nW=nW, hw=max(hw, 1))
 
     fspec = [
-        pl.BlockSpec((1, TW, S, C), lambda b, i: (b, i, 0, 0)),
-        pl.BlockSpec((1, TW, S, C), lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)),
-        pl.BlockSpec((1, TW, S, C), lambda b, i: (b, jnp.minimum(i + 1, nW - 1), 0, 0)),
+        pl.BlockSpec((1, TW, C, S), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec((1, TW, C, S), lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)),
+        pl.BlockSpec((1, TW, C, S), lambda b, i: (b, jnp.minimum(i + 1, nW - 1), 0, 0)),
     ]
     yspec = pl.BlockSpec((1, TW, K, Ho), lambda b, i: (b, i, 0, 0))
     kspec = pl.BlockSpec((K, C, F), lambda b, i: (0, 0, 0))
@@ -162,10 +203,10 @@ def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
             grid=(B, nW),
             in_specs=fspec + [
                 yspec, kspec,
-                pl.BlockSpec((1, F), lambda b, i: (0, 0)),
+                pl.BlockSpec((F, 1), lambda b, i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, TW, Ho, F), lambda b, i: (b, i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, W, Ho, F), cdtype),
+            out_specs=pl.BlockSpec((1, TW, F, Ho), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, W, F, Ho), cdtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
@@ -178,22 +219,26 @@ def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
             kb_k,
             grid=(B, nW),
             in_specs=fspec + [yspec, kspec,
-                              pl.BlockSpec((1, TW, Ho, F), lambda b, i: (b, i, 0, 0))],
+                              pl.BlockSpec((1, TW, F, Ho), lambda b, i: (b, i, 0, 0))],
             out_specs=[
-                pl.BlockSpec((1, TW, S, C), lambda b, i: (b, i, 0, 0)),
-                pl.BlockSpec((1, 1, 2 * hww, S, C), lambda b, i: (b, i, 0, 0, 0)),
+                pl.BlockSpec((1, TW, C, S), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, 2 * hww, C, S), lambda b, i: (b, i, 0, 0, 0)),
                 pl.BlockSpec((1, TW, K, Ho), lambda b, i: (b, i, 0, 0)),
                 pl.BlockSpec((1, K, C, F), lambda b, i: (b, 0, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, W, S, C), cdtype),
-                jax.ShapeDtypeStruct((B, nW, 2 * hww, S, C), cdtype),
+                jax.ShapeDtypeStruct((B, W, C, S), cdtype),
+                jax.ShapeDtypeStruct((B, nW, 2 * hww, C, S), cdtype),
                 jax.ShapeDtypeStruct((B, W, K, Ho), jnp.float32),
                 jax.ShapeDtypeStruct((B, K, C, F), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((TW + 2 * hww, S, C), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((TW + 2 * hww, C, S), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
+                # the TW*K-unrolled tap loop's live temps (dtap/dxs/lo/hi per
+                # iteration) overflow the default 16 MB scoped-VMEM stack at
+                # the C=512 stage — same raised limit as the megakernel bwd
+                vmem_limit_bytes=32 * 1024 * 1024,
             ),
             interpret=interpret,
         )(ft, ft, ft, yt, kb32.astype(cdtype), dout)
@@ -214,17 +259,17 @@ def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
         # lands on column i*TW - hww + g (clamped to 0 at tile 0 — the
         # kernel read the edge-replicated column there), right halo g on
         # column (i+1)*TW + g (clamped to W-1 at the last tile).
-        dft = df.astype(jnp.float32).reshape(B, nW, TW, S, C)
+        dft = df.astype(jnp.float32).reshape(B, nW, TW, C, S)
         for g in range(hww):
-            hl = dh[:, :, g].astype(jnp.float32)  # (B, nW, S, C)
+            hl = dh[:, :, g].astype(jnp.float32)  # (B, nW, C, S)
             hr = dh[:, :, hww + g].astype(jnp.float32)
             dft = dft.at[:, :-1, TW - (hww - g)].add(hl[:, 1:])
             dft = dft.at[:, 0, 0].add(hl[:, 0])  # clamped at w=0
             dft = dft.at[:, 1:, g].add(hr[:, :-1])
             dft = dft.at[:, -1, TW - 1].add(hr[:, -1])  # clamped at w=W-1
-        df = dft.reshape(B, W, S, C).astype(ft.dtype)
-        dbias = jnp.sum(dout.astype(jnp.float32), axis=(0, 1, 2))
-        return df, dyc, jnp.sum(dk, axis=0), dbias[None]
+        df = dft.reshape(B, W, C, S).astype(ft.dtype)
+        dbias = jnp.sum(dout.astype(jnp.float32), axis=(0, 1, 3))
+        return df, dyc, jnp.sum(dk, axis=0), dbias[:, None]
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -232,14 +277,14 @@ def _tap_core(B: int, S: int, W: int, C: int, F: int, K: int, TW: int,
 
 def tap_conv(
     feat: Array,     # (B, H, W, C)
-    y_coords: Array,  # (B, H, W, K) f32 row coordinates, clipped to [0, H-1]
+    y_coords: Array,  # (B, H, W, K) f32 row coordinates
     kernel: Array,   # (K, 1, C, F) — nn.Conv-compatible (k,1) kernel
     bias: Array,     # (F,)
     x_shifts,        # K column shifts (python ints)
     interpret: bool | None = None,
 ) -> Array:
     """Fused deform-row-sample + tap-conv. Matches `_TapConv`'s XLA matmul
-    path bit-for-bit in f32 (identical contraction order; bf16 streams round
+    path (same clamped shifts and 2-hot row interpolation; bf16 streams round
     at the same points)."""
     if interpret is None:
         interpret = not any(d.platform == "tpu" for d in jax.devices())
@@ -248,12 +293,12 @@ def tap_conv(
     F = kernel.shape[-1]
     TW = 8
     assert W % TW == 0, f"tap_conv needs W % {TW} == 0, got {W}"
-    ft = feat.transpose(0, 2, 1, 3)  # (B, W, H, C)
+    ft = feat.transpose(0, 2, 3, 1)  # (B, W, C, S)
     yt = jnp.clip(y_coords.astype(jnp.float32), 0, H - 1).transpose(0, 2, 3, 1)
     # the kernel param stays f32 into the core (cast to the stream dtype
     # happens inside) so its gradient comes back f32-accumulated
     kb32 = kernel.reshape(K, C, F).astype(jnp.float32)
     core = _tap_core(B, H, W, C, F, K, TW, tuple(int(s) for s in x_shifts),
                      jnp.dtype(feat.dtype).name, bool(interpret))
-    out = core(ft, yt, kb32, bias.astype(jnp.float32)[None])  # (B, W, H, F)
-    return out.transpose(0, 2, 1, 3)
+    out = core(ft, yt, kb32, bias.astype(jnp.float32)[:, None])  # (B, W, F, Ho)
+    return out.transpose(0, 3, 1, 2)
