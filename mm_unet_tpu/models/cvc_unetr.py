@@ -43,7 +43,7 @@ class GobleAttention(nn.Module):
         act = {"gelu": nn.gelu, "silu": nn.silu}[self.act]
         od = self.out_dim
         x = nn.Conv(od, (3, 3), padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=od // 2)(x)
+        x = nn.GroupNorm(num_groups=od // 2, epsilon=1e-5)(x)
         x = act(x)
         identity = x
 
@@ -133,7 +133,7 @@ class LocalReverseDiffusion(nn.Module):
         k = kern.reshape(r, r, c)
         up = x[:, :, None, :, None, :] * k[None, None, :, None, :, :]
         up = up.reshape(b, h * r, w * r, c) + bias
-        up = nn.GroupNorm(num_groups=1)(up)
+        up = nn.GroupNorm(num_groups=1, epsilon=1e-5)(up)
         return nn.Conv(self.out_channels, (1, 1), use_bias=False)(up)
 
 

@@ -38,7 +38,7 @@ class DSConv(nn.Module):
         center = k // 2
 
         offset = nn.Conv(2 * k, (3, 3), padding="SAME")(x)
-        offset = nn.GroupNorm(num_groups=k)(offset)
+        offset = nn.GroupNorm(num_groups=k, epsilon=1e-5)(offset)
         offset = jnp.tanh(offset)
         y_off, x_off = offset[..., :k], offset[..., k:]
 
@@ -52,7 +52,7 @@ class DSConv(nn.Module):
             deformed = deform_sample(x, y_new, [j - center for j in range(k)])
             out = nn.Conv(self.out_channels, (k, 1), strides=(k, 1), padding="VALID",
                           name="dsc_conv_x")(deformed)
-            return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
+            return nn.GroupNorm(num_groups=self.out_channels // 4, epsilon=1e-5)(out)
         else:
             x_new = cols + accumulate_offsets_from_center_last(x_off) * self.extend_scope
             y_new = jnp.broadcast_to(rows + spread, x_new.shape)
@@ -66,4 +66,4 @@ class DSConv(nn.Module):
         deformed = grid_sample_bilinear_nhwc(x, grid)
         out = nn.Conv(self.out_channels, (1, k), strides=(1, k), padding="VALID",
                       name="dsc_conv_y")(deformed)
-        return nn.GroupNorm(num_groups=self.out_channels // 4)(out)
+        return nn.GroupNorm(num_groups=self.out_channels // 4, epsilon=1e-5)(out)

@@ -26,10 +26,10 @@ class RB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=32)(x)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
-        h = nn.GroupNorm(num_groups=32)(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
         if x.shape[-1] != self.out_channels:

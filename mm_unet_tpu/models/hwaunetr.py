@@ -130,7 +130,7 @@ class HWAUNETR(nn.Module):
             """TransposedConvLayer (`HWAUNETR.py:334-353`)."""
             v = nn.ConvTranspose(dim_out, (r, r), strides=(r, r))(v)
             v = nn.ConvTranspose(dim_out, (1, 1))(jnp.concatenate([v, skip], axis=-1))
-            return nn.GroupNorm(num_groups=1)(v)
+            return nn.GroupNorm(num_groups=1, epsilon=1e-5)(v)
 
         out = tsconv(deep, feats[3], self.dims[3], 2)
         out = tsconv(out, feats[2], self.dims[2], self.kernel_sizes[3])

@@ -110,6 +110,25 @@ def nhwc_to_nchw(x: Array) -> Array:
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _shift_cols_clamped(feat: Array, dx: int) -> Array:
+    """Static column shift with edge clamping: out[..., j, :] =
+    feat[..., clip(j + dx, 0, W-1), :]. Matches the reference coordinate
+    clamp (`DSC_conv.py:269`) even when |dx| >= W (deep stages of small
+    inputs, where every shifted column lands on the boundary pixel)."""
+    w = feat.shape[2]
+    if dx == 0:
+        return feat
+    if dx > 0:
+        return jnp.concatenate(
+            [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], min(dx, w), axis=2)],
+            axis=2,
+        )
+    return jnp.concatenate(
+        [jnp.repeat(feat[:, :, :1], min(-dx, w), axis=2), feat[:, :, : max(w + dx, 0)]],
+        axis=2,
+    )
+
+
 def deform_sample_rows(feat: Array, y_coords: Array, x_shifts) -> Array:
     """Specialised MMConv/DSConv morph-0 deformable sampling.
 
@@ -135,16 +154,7 @@ def deform_sample_rows(feat: Array, y_coords: Array, x_shifts) -> Array:
 
     taps = []
     for j, dx in enumerate(x_shifts):
-        if dx == 0:
-            xs = feat
-        elif dx > 0:
-            xs = jnp.concatenate(
-                [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], dx, axis=2)], axis=2
-            )
-        else:
-            xs = jnp.concatenate(
-                [jnp.repeat(feat[:, :, :1], -dx, axis=2), feat[:, :, :dx]], axis=2
-            )
+        xs = _shift_cols_clamped(feat, dx)
         v0 = jnp.take_along_axis(xs, y0i[..., j : j + 1], axis=1)
         v1 = jnp.take_along_axis(xs, y1i[..., j : j + 1], axis=1)
         taps.append(v0 * (1 - wy[..., j : j + 1]) + v1 * wy[..., j : j + 1])
@@ -208,16 +218,7 @@ def deform_sample_rows_matmul(feat: Array, y_coords: Array, x_shifts) -> Array:
 
     taps = []
     for j, dx in enumerate(x_shifts):
-        if dx == 0:
-            xs = feat
-        elif dx > 0:
-            xs = jnp.concatenate(
-                [feat[:, :, dx:], jnp.repeat(feat[:, :, -1:], dx, axis=2)], axis=2
-            )
-        else:
-            xs = jnp.concatenate(
-                [jnp.repeat(feat[:, :, :1], -dx, axis=2), feat[:, :, :dx]], axis=2
-            )
+        xs = _shift_cols_clamped(feat, dx)
         # contract source rows on the MXU: (B,W,H_out,S) @ (B,W,S,C)
         taps.append(jnp.einsum("bhws,bswc->bhwc", m[:, :, :, j], xs))
     out = jnp.stack(taps, axis=2)  # (B, H, K, W, C)

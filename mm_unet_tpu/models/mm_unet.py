@@ -92,7 +92,7 @@ class MMConv(nn.Module):
         kw = _lkw(self.dtype)
 
         offset = nn.Conv(2 * k, (3, 3), padding="SAME", **kw)(x)
-        offset = nn.GroupNorm(num_groups=k, **kw)(offset)
+        offset = nn.GroupNorm(num_groups=k, epsilon=1e-5, **kw)(offset)
         offset = jnp.tanh(offset)
         y_off = offset[..., :k]  # (B, H, W, K); x offsets are unused (ref parity)
 
@@ -141,7 +141,9 @@ class MMConv(nn.Module):
                     self.out_channels, (1, k), strides=(1, k), padding="VALID",
                     name="dsc_conv_y", **kw,
                 )(deformed)
-            return nn.GroupNorm(num_groups=self.out_channels // 4, **kw)(out)
+            # torch GroupNorm eps parity (flax defaults to 1e-6; torch 1e-5 —
+            # visible on small-variance groups at deep-stage map sizes)
+            return nn.GroupNorm(num_groups=self.out_channels // 4, epsilon=1e-5, **kw)(out)
 
         if self.remat:
             sample_conv = nn.remat(sample_conv)

@@ -74,11 +74,16 @@ class HPPF(nn.Module):
         feat = jnp.concatenate([x1, x2, x3], axis=-1)
         b, h, w, c = feat.shape
         y1 = jnp.mean(feat, axis=(1, 2), keepdims=True)
-        # adaptive max pools to 4x4 / 8x8 then 1x1-equivalent channel reshape
+        # adaptive max pools to 4x4 / 8x8 then 1x1-equivalent channel reshape.
+        # The reference flattens NCHW tensors (`UM_Net.py:123-124`:
+        # y.reshape(b, c, 1, 1) on (b, c/16, 4, 4)), i.e. channel-major order —
+        # transpose to channel-first before the reshape to match.
         m1 = nn.max_pool(feat, (h // 4, w // 4), strides=(h // 4, w // 4))
         m2 = nn.max_pool(feat, (h // 8, w // 8), strides=(h // 8, w // 8))
-        y2 = nn.relu(DSConv(c // 16)(m1, train)).reshape(b, 1, 1, c)
-        y3 = nn.relu(nn.Conv(c // 64, (1, 1))(m2)).reshape(b, 1, 1, c)
+        y2 = nn.relu(DSConv(c // 16)(m1, train))
+        y2 = jnp.transpose(y2, (0, 3, 1, 2)).reshape(b, 1, 1, c)
+        y3 = nn.relu(nn.Conv(c // 64, (1, 1))(m2))
+        y3 = jnp.transpose(y3, (0, 3, 1, 2)).reshape(b, 1, 1, c)
         z = (y1 + y2 + y3) / 3.0
         att = nn.Conv(c // 8, (1, 1))(z)
         att = jax.nn.sigmoid(nn.Conv(c, (1, 1))(nn.relu(att)))

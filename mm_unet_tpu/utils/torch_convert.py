@@ -573,6 +573,127 @@ def mm_net_pairs(depths=(3, 4, 6, 3)):
     return p
 
 
+def dsconv_pairs(fpath, tkey, morph=0):
+    """Reference `src/UM_Net/DSC_conv.py::DSConv_pro` (offset conv + GN +
+    deform sample + morph conv + GN). Only the morph-selected dsc conv is
+    mapped (both exist in the torch state_dict; the other is dead)."""
+    dsc = "dsc_conv_x" if morph == 0 else "dsc_conv_y"
+    pre = f"{tkey}." if tkey else ""
+    return (
+        conv_pairs((*fpath, "Conv_0"), f"{pre}offset_conv")
+        + norm_pairs((*fpath, "GroupNorm_0"), f"{pre}gn_offset")
+        + conv_pairs((*fpath, dsc), f"{pre}{dsc}")
+        + norm_pairs((*fpath, "GroupNorm_1"), f"{pre}gn")
+    )
+
+
+def resnet34_encoder_pairs(fpath=("ResNet34Encoder_0",), tprefix=""):
+    """Map `mm_unet_tpu.models.resnet.ResNet34Encoder` <- a torchvision-shaped
+    resnet34 state_dict living under `tprefix` (e.g. `encoder2` == `layer1`
+    when the reference unpacks the torchvision module, `UM_Net.py:433-440`)."""
+    t = lambda k: f"{tprefix}{k}" if tprefix else k
+    p = conv_pairs((*fpath, "Conv_0"), t("conv1"), bias=False)
+    p += bn_pairs((*fpath, "BatchNorm_0"), t("bn1"))
+    bi = 0
+    for stage, depth in enumerate((3, 4, 6, 3)):
+        for j in range(depth):
+            fb = (*fpath, f"BasicBlock_{bi}")
+            tb = t(f"layer{stage + 1}.{j}")
+            p += conv_pairs((*fb, "Conv_0"), f"{tb}.conv1", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_0"), f"{tb}.bn1")
+            p += conv_pairs((*fb, "Conv_1"), f"{tb}.conv2", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_1"), f"{tb}.bn2")
+            if stage > 0 and j == 0:
+                p += conv_pairs((*fb, "Conv_2"), f"{tb}.downsample.0", bias=False)
+                p += bn_pairs((*fb, "BatchNorm_2"), f"{tb}.downsample.1")
+            bi += 1
+    return p
+
+
+def um_net_pairs():
+    """Map `mm_unet_tpu.models.um_net.UM_Net` <- reference
+    `src/UM_Net/UM_Net.py:423-530` (the active torchvision-resnet34 variant).
+
+    The reference unpacks a torchvision resnet34 into `encoder1_conv/
+    encoder1_bn/encoder2..5`; decoders/side-outs/RCGs use DSConv_pro."""
+    # encoder: the reference renames resnet attrs, so map stage by stage
+    enc = ("ResNet34Encoder_0",)
+    p = conv_pairs((*enc, "Conv_0"), "encoder1_conv", bias=False)
+    p += bn_pairs((*enc, "BatchNorm_0"), "encoder1_bn")
+    bi = 0
+    for stage, depth in enumerate((3, 4, 6, 3)):
+        for j in range(depth):
+            fb = (*enc, f"BasicBlock_{bi}")
+            tb = f"encoder{stage + 2}.{j}"
+            p += conv_pairs((*fb, "Conv_0"), f"{tb}.conv1", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_0"), f"{tb}.bn1")
+            p += conv_pairs((*fb, "Conv_1"), f"{tb}.conv2", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_1"), f"{tb}.bn2")
+            if stage > 0 and j == 0:
+                p += conv_pairs((*fb, "Conv_2"), f"{tb}.downsample.0", bias=False)
+                p += bn_pairs((*fb, "BatchNorm_2"), f"{tb}.downsample.1")
+            bi += 1
+    # down3/4/5 1x1 reducers
+    for i in range(3):
+        p += conv_pairs((f"Conv_{i}",), f"down{i + 3}.0")
+        p += bn_pairs((f"BatchNorm_{i}",), f"down{i + 3}.1")
+
+    def decoder_pairs(fp, tk):
+        return (
+            dsconv_pairs((*fp, "DSConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + dsconv_pairs((*fp, "DSConv_1"), f"{tk}.conv2.0")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.conv2.1")
+        )
+
+    def sideout_pairs(fp, tk):
+        return (
+            dsconv_pairs((*fp, "DSConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.conv2")
+        )
+
+    def rcg_pairs(fp, tk):
+        return (
+            dsconv_pairs((*fp, "DSConv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + [((*fp, "ConvTranspose_0", "kernel"), f"{tk}.upsample.weight", "convT"),
+               ((*fp, "ConvTranspose_0", "bias"), f"{tk}.upsample.bias", "raw")]
+            + mamba_pairs((*fp, "mamba"), f"{tk}.mamba", 64, dirs=("",))
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.downsample")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.mlp.0")
+        )
+
+    p += decoder_pairs(("DecoderBlock_0",), "decoder5")
+    p += sideout_pairs(("SideoutBlock_0",), "side5")
+    # contour branch: cbam Sequential [conv, bn, relu, CBAM, conv, bn, relu]
+    p += conv_pairs(("Conv_3",), "cbam.0")
+    p += bn_pairs(("BatchNorm_3",), "cbam.1")
+    p += conv_pairs(("CBAM_0", "Conv_0"), "cbam.3.mlp.0", bias=False)
+    p += conv_pairs(("CBAM_0", "Conv_1"), "cbam.3.mlp.2", bias=False)
+    p += conv_pairs(("CBAM_0", "Conv_2"), "cbam.3.conv", bias=False)
+    p += conv_pairs(("Conv_4",), "cbam.4")
+    p += bn_pairs(("BatchNorm_4",), "cbam.5")
+    p += conv_pairs(("Conv_5",), "line_predict")
+    # cascade: RCG_0/1/2 = rcg4/rcg3/rcg2, blocks numbered in call order
+    for i, n in enumerate((4, 3, 2)):
+        p += rcg_pairs((f"RCG_{i}",), f"rcg{n}")
+        p += decoder_pairs((f"DecoderBlock_{i + 1}",), f"decoder{n}")
+        p += sideout_pairs((f"SideoutBlock_{i + 1}",), f"side{n}")
+    # HPPF head + final Sequential [conv, bn, relu, dropout, conv]
+    hp = ("HPPF_0",)
+    p += dsconv_pairs((*hp, "DSConv_0"), "hpp.conv1.0")
+    p += conv_pairs((*hp, "Conv_0"), "hpp.conv2.0")
+    p += conv_pairs((*hp, "Conv_1"), "hpp.mlp.0")
+    p += conv_pairs((*hp, "Conv_2"), "hpp.mlp.2")
+    p += conv_pairs((*hp, "Conv_3"), "hpp.feat_conv.0")
+    p += bn_pairs((*hp, "BatchNorm_0"), "hpp.feat_conv.1")
+    p += conv_pairs(("Conv_6",), "final.0")
+    p += bn_pairs(("BatchNorm_5",), "final.1")
+    p += conv_pairs(("Conv_7",), "final.4")
+    return p
+
+
 def _find_subtree(tree, prefix: str, path=()):
     """DFS for the first dict key starting with `prefix`; returns its path."""
     if not isinstance(tree, dict) and not hasattr(tree, "items"):

@@ -26,6 +26,11 @@ import pytest  # noqa: E402
 # through the config API so tests are deterministic and tunnel-free.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# XLA:CPU's DEFAULT conv/dot precision is bf16-class (measured 1.2e-2 abs err
+# on a 7x7 stem conv vs float64; torch CPU is 3e-6). Parity tests compare
+# against torch, so force true-f32 contractions in tests. Production (TPU)
+# never imports this conftest and keeps the fast default.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compile cache: repeat CI runs skip recompiles of the big models.
 try:

@@ -76,6 +76,75 @@ def causal_conv1d_update_ref(x, conv_state, weight, bias=None, activation=None):
     return F.silu(out) if activation in ("silu", "swish") else out
 
 
+def _make_resnet34(pretrained=False, **kw):
+    """torchvision-faithful resnet34 (BasicBlock 3/4/6/3) — torchvision is not
+    installed in this environment, but the reference UM_Net only *unpacks* the
+    torchvision module into its own attributes (`src/UM_Net/UM_Net.py:427-440`:
+    conv1/bn1/relu/maxpool/layer1..4), so an architecture-exact stand-in with
+    the same state_dict key layout preserves the reference semantics.
+    `pretrained` is accepted and ignored (no weight files in this
+    environment; the parity tests use random weights on both sides)."""
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = None
+            if stride != 1 or inplanes != planes:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idt)
+
+    class ResNet34(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            widths, blocks, inp = (64, 128, 256, 512), (3, 4, 6, 3), 64
+            for i, (wd, n) in enumerate(zip(widths, blocks)):
+                layers = []
+                for j in range(n):
+                    layers.append(BasicBlock(inp, wd, 2 if (i > 0 and j == 0) else 1))
+                    inp = wd
+                setattr(self, f"layer{i + 1}", nn.Sequential(*layers))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512, 1000)
+
+    return ResNet34()
+
+
+def make_ref_mamba_none(d_model, d_state=16, d_conv=4, expand=2):
+    """Reference `Mamba()` with its default `bimamba_type="none"` — as shipped
+    this cannot construct (both reference Mamba files hard-assert v3 at
+    `mamba_simple.py:125`) and the modified module's none path would return
+    unbound `o_1..o_3`; the self-consistent reading (used by UM_Net's RCG,
+    `src/UM_Net/UM_Net.py:239-247`) is the VENDORED single-return module with
+    the attribute flipped after construction, exactly like dkDualNet's v2."""
+    install()
+    vend = load_ref_model_file(
+        "requirements/Mamba/mamba/mamba_ssm/modules/mamba_simple.py",
+        name="_ref_mamba_vendored",
+    )
+    m = vend.Mamba(d_model=d_model, d_state=d_state, d_conv=d_conv,
+                   expand=expand, bimamba_type="v3")
+    m.bimamba_type = "none"
+    return m
+
+
 def install():
     """Install the stub ecosystem; idempotent. Returns a namespace with the
     loaded reference modules."""
@@ -177,7 +246,7 @@ def install():
     _stub_module("timm.models.registry", register_model=lambda f: f)
     _stub_module("timm.models.vision_transformer", _cfg=lambda **k: dict(k))
     tv = _stub_module("torchvision")
-    tv.models = _stub_module("torchvision.models")
+    tv.models = _stub_module("torchvision.models", resnet34=_make_resnet34)
 
     # 6. the installed (modified) Mamba module. MMConv constructs
     # Mamba(bimamba_type="v1") which the module's own assert rejects
@@ -186,12 +255,22 @@ def install():
     # entry maps v1 -> v3 exactly as the rebuild does.
     mamba_simple = _load_by_path("_ref_mamba_simple", _MAMBA_PATH)
 
-    def _mamba_v1_as_v3(*a, **k):
-        if k.get("bimamba_type") == "v1":
+    def _mamba_dispatch(*a, **k):
+        bt = k.get("bimamba_type", "none")
+        if bt == "v1":
+            # MMConv's "v1" annotation is v3 (SURVEY §2.2 gotcha)
             k["bimamba_type"] = "v3"
+        elif bt == "none":
+            # UM_Net's RCG constructs the default ("none") Mamba, which the
+            # installed module's ctor assert rejects and whose none path
+            # returns unbound o_1..o_3 — use the vendored single-return
+            # module flipped to none (see make_ref_mamba_none)
+            k.pop("bimamba_type", None)
+            k.pop("nslices", None)
+            return make_ref_mamba_none(*a, **k)
         return mamba_simple.Mamba(*a, **k)
 
-    pkg.Mamba = _mamba_v1_as_v3
+    pkg.Mamba = _mamba_dispatch
 
     _installed = True
     ns.ss, ns.cc, ns.mamba_simple = ss, cc, mamba_simple

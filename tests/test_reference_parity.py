@@ -269,6 +269,166 @@ def test_mm_net_full_forward_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
 
+def _patch_cuda_default(cls):
+    cls.__init__.__defaults__ = tuple(
+        "cpu" if d == "cuda" else d for d in cls.__init__.__defaults__
+    )
+
+
+def _load_dsconv_ref():
+    rmod = ref_harness.load_ref_model_file("src/UM_Net/DSC_conv.py", name="_ref_dsc")
+    # DSConv_pro hard-defaults device="cuda" (`DSC_conv.py:17`); run on CPU
+    _patch_cuda_default(rmod.DSConv_pro)
+    return rmod
+
+
+def _load_umnet_ref():
+    """Load the reference UM_Net with its own packaged DSConv_pro patched to
+    CPU (UM_Net imports `src.UM_Net.DSC_conv`, a different module instance
+    than the file-path load above)."""
+    rmod = ref_harness.load_ref_model_file("src/UM_Net/UM_Net.py", name="_ref_umnet")
+    _patch_cuda_default(rmod.DSConv_pro)
+    return rmod
+
+
+@pytest.mark.parametrize("morph", [0, 1])
+def test_dsconv_vs_reference(ref, morph):
+    """`DSConv_pro` (dynamic snake conv, `src/UM_Net/DSC_conv.py:8-83`) vs the
+    rebuilt DSConv: offset GN/tanh, iterative offset accumulation, clamped
+    grid sampling, morph-selected strided conv, output GroupNorm."""
+    from mm_unet_tpu.models.dsconv import DSConv
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = _load_dsconv_ref()
+    torch.manual_seed(0)
+    tm = rmod.DSConv_pro(8, 8, morph=morph, device="cpu").eval()
+    rng = np.random.default_rng(11 + morph)
+    x = rng.standard_normal((2, 8, 24, 20)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = DSConv(8, morph=morph)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))  # NHWC module
+    variables = fm.init(jax.random.PRNGKey(0), xn)
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.dsconv_pairs((), "", morph=morph))
+    got = np.transpose(np.asarray(fm.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dsconv_tiny_feature_map_vs_reference(ref):
+    """Deep-stage regression: kernel tap shifts wider than the feature map
+    (the reference clamps every out-of-range column to the border pixel,
+    `DSC_conv.py:269`); 2x2 maps reach this at kernel_size=9."""
+    from mm_unet_tpu.models.dsconv import DSConv
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = _load_dsconv_ref()
+    torch.manual_seed(2)
+    tm = rmod.DSConv_pro(16, 16, morph=0, device="cpu").eval()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 16, 2, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = DSConv(16, morph=0)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = fm.init(jax.random.PRNGKey(0), xn)
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.dsconv_pairs((), "", morph=0))
+    got = np.transpose(np.asarray(fm.apply(variables, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_um_rcg_vs_reference(ref):
+    """UM_Net's RCG (DSConv fuse + default-Mamba detour + gate,
+    `src/UM_Net/UM_Net.py:217-281`) vs the rebuilt module, including the
+    vendored Mamba running in its (only self-consistent) `none` mode."""
+    from mm_unet_tpu.models import um_net as um
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = _load_umnet_ref()
+    torch.manual_seed(3)
+    tm = rmod.RCG().eval()
+    rng = np.random.default_rng(14)
+    pre = rng.standard_normal((1, 1, 8, 8)).astype(np.float32)
+    edge = rng.standard_normal((1, 64, 16, 16)).astype(np.float32)
+    f = rng.standard_normal((1, 64, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(pre), _t(edge), _t(f)).numpy()
+
+    fm = um.RCG()
+    args = [jnp.asarray(np.transpose(v, (0, 2, 3, 1))) for v in (pre, edge, f)]
+    variables = fm.init(jax.random.PRNGKey(0), *args)
+    pairs = (
+        tc.dsconv_pairs(("DSConv_0",), "conv1.0")
+        + tc.bn_pairs(("BatchNorm_0",), "conv1.1")
+        + [(("ConvTranspose_0", "kernel"), "upsample.weight", "convT"),
+           (("ConvTranspose_0", "bias"), "upsample.bias", "raw")]
+        + tc.mamba_pairs(("mamba",), "mamba", 64, dirs=("",))
+        + tc.conv_pairs(("Conv_0",), "downsample")
+        + tc.conv_pairs(("Conv_1",), "mlp.0")
+    )
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), pairs)
+    got = np.transpose(np.asarray(fm.apply(variables, *args)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_um_hppf_vs_reference(ref):
+    """HPPF pyramid attention head (`src/UM_Net/UM_Net.py:95-130`): adaptive
+    pools, DSConv/conv channel squeezes with the reference's channel-major
+    flatten, shared-MLP attention, feat conv."""
+    from mm_unet_tpu.models.um_net import HPPF
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = _load_umnet_ref()
+    torch.manual_seed(4)
+    tm = rmod.HPPF(192).eval()
+    rng = np.random.default_rng(15)
+    x1 = rng.standard_normal((2, 64, 16, 16)).astype(np.float32)
+    x2 = rng.standard_normal((2, 64, 8, 8)).astype(np.float32)
+    x3 = rng.standard_normal((2, 64, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x1), _t(x2), _t(x3)).numpy()
+
+    fm = HPPF(192)
+    args = [jnp.asarray(np.transpose(v, (0, 2, 3, 1))) for v in (x1, x2, x3)]
+    variables = fm.init(jax.random.PRNGKey(0), *args)
+    pairs = (
+        tc.dsconv_pairs(("DSConv_0",), "conv1.0")
+        + tc.conv_pairs(("Conv_0",), "conv2.0")
+        + tc.conv_pairs(("Conv_1",), "mlp.0")
+        + tc.conv_pairs(("Conv_2",), "mlp.2")
+        + tc.conv_pairs(("Conv_3",), "feat_conv.0")
+        + tc.bn_pairs(("BatchNorm_0",), "feat_conv.1")
+    )
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), pairs)
+    got = np.transpose(np.asarray(fm.apply(variables, *args)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_um_net_full_forward_vs_reference(ref):
+    """FULL UM_Net forward vs the reference source (`src/UM_Net/UM_Net.py:
+    423-530`): torchvision-shaped resnet34 encoder, 1x1 reducers, CBAM contour
+    branch, 3 RCGs with none-mode Mamba, DSConv decoders/side-outs, HPPF head,
+    sum of 6 upsampled maps."""
+    from mm_unet_tpu.models.um_net import UM_Net
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = _load_umnet_ref()
+    torch.manual_seed(5)
+    tm = rmod.UM_Net(num_classes=1).eval()
+    rng = np.random.default_rng(16)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = UM_Net(num_classes=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.um_net_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # module level: the installed tri-directional Mamba
 # ---------------------------------------------------------------------------
