@@ -21,8 +21,12 @@ def _up(x, hw):
     return jax.image.resize(x, (x.shape[0], *hw, x.shape[-1]), method="linear")
 
 
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
+
+
 def _act(shallow):
-    return nn.gelu if shallow else nn.silu  # Swish == SiLU
+    return _gelu if shallow else nn.silu  # Swish == SiLU
 
 
 class Mlp(nn.Module):
@@ -74,7 +78,7 @@ class DLKBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6)(x)
         h = nn.Conv(self.dim, (1, 1))(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         h = DLK(self.dim)(h)
         h = nn.Conv(self.dim, (1, 1))(h)
         x = x + dp(scale * h)
@@ -116,7 +120,7 @@ class MambaAttention(nn.Module):
             h = nn.Conv(self.in_dim, (5, 5), padding="SAME",
                         feature_group_count=self.in_dim)(x)
         b, hh, ww, c = h.shape
-        tokens = nn.LayerNorm()(h.reshape(b, hh * ww, c))
+        tokens = nn.LayerNorm(epsilon=1e-5)(h.reshape(b, hh * ww, c))
         out = Mamba(d_model=c, bimamba_type="v2", nslices=self.num_slices,
                     name="mamba")(tokens)
         att2 = out.reshape(b, hh, ww, c)

@@ -51,7 +51,7 @@ class ContextBlock(nn.Module):
         context = context[:, None, None, :]
         planes = int(self.inplanes * self.ratio)
         t = nn.Conv(planes, (1, 1))(context)
-        t = nn.LayerNorm()(t)
+        t = nn.LayerNorm(epsilon=1e-5)(t)  # torch nn.LayerNorm default eps
         t = nn.relu(t)
         # last conv zero-init (reference last_zero_init)
         t = nn.Conv(self.inplanes, (1, 1), kernel_init=nn.initializers.zeros)(t)

@@ -694,6 +694,265 @@ def um_net_pairs():
     return p
 
 
+def pvtv2_block_pairs(fblk, tkey, sr_ratio):
+    """One PVTv2 encoder block (reference `src/FCBFormer/pvt_v2.py::Block`):
+    prenorm SR-attention + prenorm Mix-FFN with depthwise 3x3. The spatial
+    -reduction conv/norm exist only when sr_ratio > 1 (`pvt_v2.py:74-77`)."""
+    at = (*fblk, "SRAttention_0")
+    p = (
+        norm_pairs((*fblk, "LayerNorm_0"), f"{tkey}.norm1")
+        + norm_pairs((*fblk, "LayerNorm_1"), f"{tkey}.norm2")
+        + dense_pairs((*at, "Dense_0"), f"{tkey}.attn.q")
+        + dense_pairs((*at, "Dense_1"), f"{tkey}.attn.kv")
+        + dense_pairs((*at, "Dense_2"), f"{tkey}.attn.proj")
+        + dense_pairs((*fblk, "MixFFN_0", "Dense_0"), f"{tkey}.mlp.fc1")
+        + dense_pairs((*fblk, "MixFFN_0", "Dense_1"), f"{tkey}.mlp.fc2")
+        + conv_pairs((*fblk, "MixFFN_0", "DWConv_0", "Conv_0"), f"{tkey}.mlp.dwconv.dwconv")
+    )
+    if sr_ratio > 1:
+        p += conv_pairs((*at, "Conv_0"), f"{tkey}.attn.sr")
+        p += norm_pairs((*at, "LayerNorm_0"), f"{tkey}.attn.norm")
+    return p
+
+
+def pvtv2_pairs(fpath, pe_key, blk_key, norm_key, depths=(3, 4, 6, 3),
+                sr_ratios=(8, 4, 2, 1)):
+    """Full PVTv2 backbone pair list. `pe_key(i)` / `blk_key(i, j)` /
+    `norm_key(i)` produce the torch key prefixes, so the same generator covers
+    attribute-named backbones (`backbone.patch_embed1...`, DuAT-style) and
+    Sequential-flattened ones (`TB.backbone.0...`, FCBFormer `models.py:129`).
+    """
+    p = []
+    bi = 0
+    for i in range(4):
+        pe = (*fpath, f"OverlapPatchEmbed_{i}")
+        p += conv_pairs((*pe, "Conv_0"), f"{pe_key(i)}.proj")
+        p += norm_pairs((*pe, "LayerNorm_0"), f"{pe_key(i)}.norm")
+        for j in range(depths[i]):
+            p += pvtv2_block_pairs((*fpath, f"PVTBlock_{bi}"), blk_key(i, j),
+                                   sr_ratios[i])
+            bi += 1
+        p += norm_pairs((*fpath, f"LayerNorm_{i}"), norm_key(i))
+    return p
+
+
+def rb_pairs(fpath, tkey, skip=False):
+    """FCBFormer residual block (`src/FCBFormer/models.py:10-34`): GN/SiLU/conv
+    twice + optional 1x1 skip (torch uses Identity when channels match)."""
+    p = (
+        norm_pairs((*fpath, "GroupNorm_0"), f"{tkey}.in_layers.0")
+        + conv_pairs((*fpath, "Conv_0"), f"{tkey}.in_layers.2")
+        + norm_pairs((*fpath, "GroupNorm_1"), f"{tkey}.out_layers.0")
+        + conv_pairs((*fpath, "Conv_1"), f"{tkey}.out_layers.2")
+    )
+    if skip:
+        p += conv_pairs((*fpath, "Conv_2"), f"{tkey}.skip")
+    return p
+
+
+def fcbformer_pairs(depths=(3, 4, 18, 3)):
+    """Map `mm_unet_tpu.models.fcbformer.FCBFormer` <- reference
+    `src/FCBFormer/models.py:177-196`: TB (PVTv2-b3 flattened into a
+    Sequential, LE/SFA residual blocks), FCB encoder/decoder, PH head."""
+    tb = ("TB_0",)
+    p = pvtv2_pairs(
+        (*tb, "PVTv2_0"),
+        pe_key=lambda i: f"TB.backbone.{3 * i}",
+        blk_key=lambda i, j: f"TB.backbone.{3 * i + 1}.{j}",
+        norm_key=lambda i: f"TB.backbone.{3 * i + 2}",
+        depths=depths,
+    )
+    dims = (64, 128, 320, 512)
+    ri = 0
+    for i in range(4):  # LE: RB(dim->64), RB(64->64), Upsample
+        p += rb_pairs((*tb, f"RB_{ri}"), f"TB.LE.{i}.0", skip=dims[i] != 64)
+        p += rb_pairs((*tb, f"RB_{ri + 1}"), f"TB.LE.{i}.1")
+        ri += 2
+    for i in (2, 1, 0):  # SFA applied top-down (`models.py:169-172`)
+        p += rb_pairs((*tb, f"RB_{ri}"), f"TB.SFA.{i}.0", skip=True)  # 128->64
+        p += rb_pairs((*tb, f"RB_{ri + 1}"), f"TB.SFA.{i}.1")
+        ri += 2
+
+    fcb = ("FCB_0",)
+    mc, mults = 32, (1, 1, 2, 2, 4, 4)
+    p += conv_pairs((*fcb, "Conv_0"), "FCB.enc_blocks.0")
+    ti, rb, cv, ch = 1, 0, 1, mc
+    enc_chans = [mc]
+    for level in range(6):
+        for _ in range(2):
+            out = mults[level] * mc
+            p += rb_pairs((*fcb, f"RB_{rb}"), f"FCB.enc_blocks.{ti}.0",
+                          skip=ch != out)
+            ch = out
+            enc_chans.append(ch)
+            rb += 1
+            ti += 1
+        if level != 5:
+            p += conv_pairs((*fcb, f"Conv_{cv}"), f"FCB.enc_blocks.{ti}.0")
+            enc_chans.append(ch)
+            cv += 1
+            ti += 1
+    p += rb_pairs((*fcb, f"RB_{rb}"), "FCB.middle_block.0")
+    p += rb_pairs((*fcb, f"RB_{rb + 1}"), "FCB.middle_block.1")
+    rb += 2
+    ti = 0
+    for level in range(6):
+        mult = mults[::-1][level]
+        for block in range(3):
+            out = mult * mc
+            p += rb_pairs((*fcb, f"RB_{rb}"), f"FCB.dec_blocks.{ti}.0",
+                          skip=(ch + enc_chans.pop()) != out)
+            ch = out
+            rb += 1
+            if level < 5 and block == 2:
+                p += conv_pairs((*fcb, f"Conv_{cv}"), f"FCB.dec_blocks.{ti}.1.1")
+                cv += 1
+            ti += 1
+
+    p += rb_pairs(("RB_0",), "PH.0", skip=True)  # 96 -> 64
+    p += rb_pairs(("RB_1",), "PH.1")
+    p += conv_pairs(("Conv_0",), "PH.2")
+    return p
+
+
+def basic_conv2d_pairs(fpath, tkey):
+    """DuAT `BasicConv2d` (conv no-bias + BN + ReLU, `DuAT.py:18-32`)."""
+    return (conv_pairs((*fpath, "Conv_0"), f"{tkey}.conv", bias=False)
+            + bn_pairs((*fpath, "BatchNorm_0"), f"{tkey}.bn"))
+
+
+def duat_pairs(depths=(3, 4, 6, 3)):
+    """Map `mm_unet_tpu.models.duat.DuAT` <- reference `src/DuAT/DuAT.py:
+    329-372`: attribute-named PVTv2-b2 backbone, GLSA x3 (ConvBranch +
+    ContextBlock), fuse/fuse2 heads, SBA boundary aggregation."""
+    p = pvtv2_pairs(
+        ("PVTv2_0",),
+        pe_key=lambda i: f"backbone.patch_embed{i + 1}",
+        blk_key=lambda i, j: f"backbone.block{i + 1}.{j}",
+        norm_key=lambda i: f"backbone.norm{i + 1}",
+        depths=depths,
+    )
+
+    def conv_branch_pairs(fp, tk):
+        q = []
+        for i in range(6):  # conv1..conv6: conv(no bias) + BN
+            q += conv_pairs((*fp, f"Conv_{i}"), f"{tk}.conv{i + 1}.0", bias=False)
+            q += bn_pairs((*fp, f"BatchNorm_{i}"), f"{tk}.conv{i + 1}.1")
+        q += conv_pairs((*fp, "Conv_6"), f"{tk}.conv7.0", bias=False)
+        return q
+
+    def context_block_pairs(fp, tk):
+        # torch nn.LayerNorm([planes, 1, 1]) stores (C,1,1) weights; the flax
+        # LN over the channel axis stores (C,) — flatten on conversion
+        flat = lambda w: np.reshape(np.asarray(w), -1)
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.conv_mask")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.channel_mul_conv.0")
+            + [((*fp, "LayerNorm_0", "scale"), f"{tk}.channel_mul_conv.1.weight", flat),
+               ((*fp, "LayerNorm_0", "bias"), f"{tk}.channel_mul_conv.1.bias", flat)]
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.channel_mul_conv.3")
+        )
+
+    def glsa_pairs(fp, tk):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.local_11conv")
+            + conv_branch_pairs((*fp, "ConvBranch_0"), f"{tk}.local")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.global_11conv")
+            + context_block_pairs((*fp, "ContextBlock_0"), f"{tk}.GlobelBlock")
+            + basic_conv2d_pairs((*fp, "BasicConv2d_0"), f"{tk}.conv1_1")
+        )
+
+    for i, tk in enumerate(("GLSA_c4", "GLSA_c3", "GLSA_c2")):
+        p += glsa_pairs((f"GLSA_{i}",), tk)
+    p += basic_conv2d_pairs(("BasicConv2d_0",), "fuse2.0")
+    p += conv_pairs(("Conv_0",), "fuse2.1", bias=False)
+    p += basic_conv2d_pairs(("BasicConv2d_1",), "L_feature")
+    p += basic_conv2d_pairs(("BasicConv2d_2",), "fuse")
+    sba = ("SBA_0",)
+    p += conv_pairs((*sba, "Conv_0"), "SBA.fc1", bias=False)
+    p += conv_pairs((*sba, "Conv_1"), "SBA.fc2", bias=False)
+    p += basic_conv2d_pairs((*sba, "BasicConv2d_0"), "SBA.d_in1")
+    p += basic_conv2d_pairs((*sba, "BasicConv2d_1"), "SBA.d_in2")
+    p += basic_conv2d_pairs((*sba, "BasicConv2d_2"), "SBA.conv.0")
+    p += conv_pairs((*sba, "Conv_2"), "SBA.conv.1", bias=False)
+    return p
+
+
+def dkdualnet_pairs(depths=(2, 2, 2, 2), dims=(48, 96, 192, 384)):
+    """Map `mm_unet_tpu.models.dkdualnet.dkDualNet` <- reference
+    `src/devDualNet/devDualNet.py:307-362`: DLK-block encoder, three v2
+    bi-Mamba AttentionBlocks, Convblock fuse heads, transpose-conv outputs.
+
+    The reference DLKBlock reuses ONE LayerNorm and ONE layer_scale for both
+    its attention and MLP branches (`devDualNet.py:97-117`); the rebuild keeps
+    separate flax params, so both map from the same torch tensor."""
+
+    def dlk_block_pairs(fp, tk):
+        same = lambda fname: [((*fp, fname, "scale"), f"{tk}.norm_layer.weight", "raw"),
+                              ((*fp, fname, "bias"), f"{tk}.norm_layer.bias", "raw")]
+        sg = f"{tk}.attn.spatial_gating_unit"
+        return (
+            same("LayerNorm_0") + same("LayerNorm_1")
+            + [((*fp, "layer_scale"), f"{tk}.layer_scale", "raw"),
+               ((*fp, "layer_scale2"), f"{tk}.layer_scale", "raw")]
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.attn.proj_1")
+            + conv_pairs((*fp, "DLK_0", "Conv_0"), f"{sg}.att_conv1")
+            + conv_pairs((*fp, "DLK_0", "Conv_1"), f"{sg}.att_conv2")
+            + conv_pairs((*fp, "DLK_0", "Conv_2"), f"{sg}.spatial_se.0")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.attn.proj_2")
+            + conv_pairs((*fp, "Mlp_0", "Conv_0"), f"{tk}.mlp.fc1")
+            + conv_pairs((*fp, "Mlp_0", "Conv_1"), f"{tk}.mlp.dwconv")
+            + conv_pairs((*fp, "Mlp_0", "Conv_2"), f"{tk}.mlp.fc2")
+        )
+
+    def conv_block_pairs(fp, tk):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.conv1.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv1.1")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.conv2.0")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.conv2.1")
+        )
+
+    def attention_pairs(fp, tk, d_model):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.att_conv")
+            + norm_pairs((*fp, "LayerNorm_0"), f"{tk}.norm")
+            + mamba_pairs((*fp, "mamba"), f"{tk}.mamba", d_model, dirs=("", "_b"))
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.spatial_se.0")
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.conv")
+        )
+
+    def attention_block_pairs(fp, tk, in_dim):
+        return (
+            attention_pairs((*fp, "MambaAttention_0"), f"{tk}.gobel_attention", in_dim // 2)
+            + attention_pairs((*fp, "MambaAttention_1"), f"{tk}.local_attention", in_dim // 2)
+            + conv_block_pairs((*fp, "ConvBlock_0"), f"{tk}.downsample")
+        )
+
+    p = []
+    bi = 0
+    for i in range(4):
+        p += conv_pairs((f"Conv_{i}",), f"dnet_down.downsample_layers.{i}")
+        p += norm_pairs((f"LayerNorm_{i}",), f"dnet_down.norm_layers.{i}")
+        for j in range(depths[i]):
+            p += dlk_block_pairs((f"DLKBlock_{bi}",), f"dnet_down.stages.{i}.{j}")
+            bi += 1
+    # call order: block4, block3, block2 (`devDualNet.py:343-346`)
+    for fi, (tk, d) in enumerate((("block4", dims[3]), ("block3", dims[2]),
+                                  ("block2", dims[1]))):
+        p += attention_block_pairs((f"AttentionBlock_{fi}",), tk, d)
+    p += conv_block_pairs(("ConvBlock_0",), "fuse2.0")
+    p += conv_pairs(("Conv_4",), "fuse2.1", bias=False)
+    p += conv_block_pairs(("ConvBlock_1",), "L_feature")
+    p += conv_block_pairs(("ConvBlock_2",), "fuse")
+    p += [(("ConvTranspose_0", "kernel"), "o1_u.weight", "convT"),
+          (("ConvTranspose_0", "bias"), "o1_u.bias", "raw"),
+          (("ConvTranspose_1", "kernel"), "o2_u.weight", "convT"),
+          (("ConvTranspose_1", "bias"), "o2_u.bias", "raw")]
+    p += conv_pairs(("Conv_5",), "head", bias=False)
+    return p
+
+
 def _find_subtree(tree, prefix: str, path=()):
     """DFS for the first dict key starting with `prefix`; returns its path."""
     if not isinstance(tree, dict) and not hasattr(tree, "items"):

@@ -145,6 +145,34 @@ def make_ref_mamba_none(d_model, d_state=16, d_conv=4, expand=2):
     return m
 
 
+def make_ref_mamba_v2(d_model, d_state=16, d_conv=4, expand=2):
+    """Reference `Mamba(bimamba_type="v2")` (dkDualNet's attention,
+    `src/devDualNet/devDualNet.py:233-240`) — as shipped this cannot run:
+    both Mamba files hard-assert v3 at construction, and the installed
+    module's v2 branch never binds the o_1..o_3 it returns
+    (`mamba_simple.py:267-269,362`). The self-consistent reading is the
+    vendored module's own v2 branch (`modules/mamba_simple.py:265-288`,
+    single return) constructed as v3 and flipped, with the unused q/k/v
+    return slots (dkDualNet discards them) filled with None."""
+    import types as _types
+
+    install()
+    vend = load_ref_model_file(
+        "requirements/Mamba/mamba/mamba_ssm/modules/mamba_simple.py",
+        name="_ref_mamba_vendored",
+    )
+    m = vend.Mamba(d_model=d_model, d_state=d_state, d_conv=d_conv,
+                   expand=expand, bimamba_type="v3")
+    m.bimamba_type = "v2"
+    inner = m.forward
+
+    def forward(self, hidden_states, inference_params=None):
+        return inner(hidden_states, inference_params), None, None, None
+
+    m.forward = _types.MethodType(forward, m)
+    return m
+
+
 def install():
     """Install the stub ecosystem; idempotent. Returns a namespace with the
     loaded reference modules."""
@@ -241,12 +269,43 @@ def install():
 
     _stub_module("timm")
     _stub_module("timm.models")
+    def _make_divisible(v, divisor=8, min_value=None, round_limit=0.9):
+        min_value = min_value or divisor
+        new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+        if new_v < round_limit * v:
+            new_v += divisor
+        return new_v
+
     _stub_module("timm.models.layers", trunc_normal_=lambda *a, **k: a[0] if a else None,
-                 DropPath=_DropPath, to_2tuple=_to_2tuple)
+                 DropPath=_DropPath, to_2tuple=_to_2tuple,
+                 make_divisible=_make_divisible)
     _stub_module("timm.models.registry", register_model=lambda f: f)
     _stub_module("timm.models.vision_transformer", _cfg=lambda **k: dict(k))
     tv = _stub_module("torchvision")
     tv.models = _stub_module("torchvision.models", resnet34=_make_resnet34)
+
+    # mmengine init helpers (DuAT imports them; parity converts the LIVE
+    # state_dict, so faithful in-place inits keep both sides identical)
+    def _constant_init(module, val, bias=0):
+        if getattr(module, "weight", None) is not None:
+            _nn.init.constant_(module.weight, val)
+        if getattr(module, "bias", None) is not None:
+            _nn.init.constant_(module.bias, bias)
+
+    def _kaiming_init(module, a=0, mode="fan_out", nonlinearity="relu",
+                      bias=0, distribution="normal"):
+        if distribution == "normal":
+            _nn.init.kaiming_normal_(module.weight, a=a, mode=mode,
+                                     nonlinearity=nonlinearity)
+        else:
+            _nn.init.kaiming_uniform_(module.weight, a=a, mode=mode,
+                                      nonlinearity=nonlinearity)
+        if getattr(module, "bias", None) is not None:
+            _nn.init.constant_(module.bias, bias)
+
+    _stub_module("mmengine")
+    _stub_module("mmengine.model", constant_init=_constant_init,
+                 kaiming_init=_kaiming_init)
 
     # 6. the installed (modified) Mamba module. MMConv constructs
     # Mamba(bimamba_type="v1") which the module's own assert rejects
@@ -268,6 +327,12 @@ def install():
             k.pop("bimamba_type", None)
             k.pop("nslices", None)
             return make_ref_mamba_none(*a, **k)
+        elif bt == "v2":
+            # dkDualNet's v2 Mamba: ctor assert + unbound o_1..o_3 again —
+            # vendored v2 branch wrapped to the 4-return shape
+            k.pop("bimamba_type", None)
+            k.pop("nslices", None)
+            return make_ref_mamba_v2(*a, **k)
         return mamba_simple.Mamba(*a, **k)
 
     pkg.Mamba = _mamba_dispatch
