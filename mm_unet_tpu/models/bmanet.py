@@ -99,9 +99,8 @@ class CBAMBlock(nn.Module):
         x = x * jax.nn.sigmoid(avg + mx)[:, None, None, :]
         s_avg = jnp.mean(x, axis=-1, keepdims=True)
         s_max = jnp.max(x, axis=-1, keepdims=True)
-        s = nn.Conv(1, (7, 7), padding="SAME", use_bias=False)(
-            jnp.concatenate([s_max, s_avg], -1)
-        )
+        # torch SpatialGate: cat((max, mean)), conv WITH bias (`BMANet.py:520`)
+        s = nn.Conv(1, (7, 7), padding="SAME")(jnp.concatenate([s_max, s_avg], -1))
         return x * jax.nn.sigmoid(s)
 
 
@@ -113,9 +112,15 @@ class FusionConv(nn.Module):
     def __call__(self, x1, x2, train: bool = False):
         d = self.inter
         h = nn.Conv(d, (1, 1))(jnp.concatenate([x1, x2], -1))
-        ca = nn.Sequential([
-            nn.Conv(d // 4, (1, 1)), nn.relu, nn.Conv(d, (1, 1)),
-        ])(jnp.mean(h, axis=(1, 2), keepdims=True))
+        # ChannelAttentionModule: shared bias-free fc on BOTH avg and max
+        # pools, summed (`BMANet.py:545-556`)
+        fc = nn.Sequential([
+            nn.Conv(d // 4, (1, 1), use_bias=False), nn.relu,
+            nn.Conv(d, (1, 1), use_bias=False),
+        ])
+        ca = fc(jnp.mean(h, axis=(1, 2), keepdims=True)) + fc(
+            jnp.max(h, axis=(1, 2), keepdims=True)
+        )
         h_c = h * jax.nn.sigmoid(ca)
         s = nn.Conv(d, (3, 3), padding="SAME")(h) + nn.Conv(d, (5, 5), padding="SAME")(h) \
             + nn.Conv(d, (7, 7), padding="SAME")(h)

@@ -19,6 +19,13 @@ def _up(x, hw):
     return jax.image.resize(x, (x.shape[0], *hw, x.shape[-1]), method="linear")
 
 
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
+
+
+_ACTS = {"relu": nn.relu, "gelu": _gelu, "silu": nn.silu}
+
+
 class BasicConv2d(nn.Module):
     out: int
     kernel: int = 1
@@ -29,7 +36,7 @@ class BasicConv2d(nn.Module):
         k = self.kernel
         x = nn.Conv(self.out, (k, k), padding="SAME", use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
-        return {"relu": nn.relu, "gelu": nn.gelu, "silu": nn.silu}[self.act](x)
+        return _ACTS[self.act](x)
 
 
 class GobleAttention(nn.Module):
@@ -40,7 +47,7 @@ class GobleAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        act = {"gelu": nn.gelu, "silu": nn.silu}[self.act]
+        act = _ACTS[self.act]
         od = self.out_dim
         x = nn.Conv(od, (3, 3), padding="SAME")(x)
         x = nn.GroupNorm(num_groups=od // 2, epsilon=1e-5)(x)
@@ -110,8 +117,10 @@ class GlobalSparseTransformer(nn.Module):
         b, h, w, c = x.shape
         hd = c // self.heads
         qkv = nn.Conv(3 * c, (1, 1), use_bias=False)(x)
-        qkv = qkv.reshape(b, h * w, 3, self.heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # reference channel layout is head-major, q/k/v contiguous per head
+        # (`NewCVC.py:559-561`: view(B, heads, 3*hd, HW).split(hd, dim=2))
+        qkv = qkv.reshape(b, h * w, self.heads, 3, hd)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
         att = jax.nn.softmax(jnp.einsum("bnhd,bmhd->bhnm", q, k), axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(b, h, w, c)
         return out

@@ -38,7 +38,11 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _up(x, 2)
+        # reference up_conv uses bare nn.Upsample(scale_factor=2) — NEAREST
+        # mode (`PVT_CA.py:196`), unlike the bilinear prediction heads
+        x = jax.image.resize(
+            x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]), "nearest"
+        )
         x = nn.Conv(self.out, (3, 3), padding="SAME")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(x)

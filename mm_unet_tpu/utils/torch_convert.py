@@ -953,6 +953,288 @@ def dkdualnet_pairs(depths=(2, 2, 2, 2), dims=(48, 96, 192, 384)):
     return p
 
 
+def cvc_unetr_pairs(depths=(3, 4, 6, 3), out_dim=32):
+    """Map `mm_unet_tpu.models.cvc_unetr.CVC_Unetr` <- reference
+    `src/CVCUNETR/NewCVC.py:583-635`: its own pvt_v2_b2, three rep-style
+    AttentionBlocks (GobleAttention + LocalAttention), fuse heads, and the
+    GlobalSparseTransformer + LocalReverseDiffusion output branch."""
+    p = pvtv2_pairs(
+        ("PVTv2_0",),
+        pe_key=lambda i: f"backbone.patch_embed{i + 1}",
+        blk_key=lambda i, j: f"backbone.block{i + 1}.{j}",
+        norm_key=lambda i: f"backbone.norm{i + 1}",
+        depths=depths,
+    )
+
+    def goble_pairs(fp, tk):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.conv")
+            + norm_pairs((*fp, "GroupNorm_0"), f"{tk}.norm")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.base_conv", bias=False)
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.base_norm")
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.add_conv", bias=False)
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.add_norm")
+            + conv_pairs((*fp, "Conv_3"), f"{tk}.mlp.line_conv_0", bias=False)
+            + conv_pairs((*fp, "Conv_4"), f"{tk}.mlp.line_conv_1", bias=False)
+        )
+
+    def local_pairs(fp, tk):
+        return (
+            bn_pairs((*fp, "BatchNorm_0"), f"{tk}.bn1")
+            + conv_pairs((*fp, "Conv_0"), f"{tk}.pointwise_conv_0", bias=False)
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.depthwise_conv", bias=False)
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.bn2")
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.pointwise_conv_1", bias=False)
+        )
+
+    def basic_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.conv", bias=False)
+                + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.bn"))
+
+    def attention_block_pairs(fp, tk):
+        return (
+            goble_pairs((*fp, "GobleAttention_0"), f"{tk}.gobel_attention")
+            + local_pairs((*fp, "LocalAttention_0"), f"{tk}.local_attention")
+            + basic_pairs((*fp, "BasicConv2d_0"), f"{tk}.downsample")
+        )
+
+    for fi, tk in enumerate(("block4", "block3", "block2")):
+        p += attention_block_pairs((f"AttentionBlock_{fi}",), tk)
+    p += basic_pairs(("BasicConv2d_0",), "fuse2.0")
+    p += conv_pairs(("Conv_0",), "fuse2.1", bias=False)
+    p += basic_pairs(("BasicConv2d_1",), "L_feature")
+    p += basic_pairs(("BasicConv2d_2",), "fuse")
+    p += conv_pairs(("GlobalSparseTransformer_0", "Conv_0"), "g.qkv", bias=False)
+    # depthwise ConvTranspose2d (C,1,r,r) -> painted-block kernel (r*r, C)
+    dw_t = lambda w: np.transpose(np.reshape(np.asarray(w), (w.shape[0], -1)))
+    lrd = ("LocalReverseDiffusion_0",)
+    p += [((*lrd, "kernel"), "l.conv_trans.weight", dw_t),
+          ((*lrd, "bias"), "l.conv_trans.bias", "raw")]
+    p += norm_pairs((*lrd, "GroupNorm_0"), "l.norm")
+    p += conv_pairs((*lrd, "Conv_0"), "l.pointwise_conv", bias=False)
+    return p
+
+
+def bmanet_pairs(depths=(3, 4, 6, 3)):
+    """Map `mm_unet_tpu.models.bmanet.BMANet` <- reference
+    `src/BMANet/BMANet.py:675-767`: its own pvt_v2_b2, RFB-modified blocks,
+    dense aggregation, CBR boundary chain, BAM edge fusion, three cascaded
+    BMA refinement heads, sigmoid-before-upsample output."""
+    p = pvtv2_pairs(
+        ("PVTv2_0",),
+        pe_key=lambda i: f"backbone.patch_embed{i + 1}",
+        blk_key=lambda i, j: f"backbone.block{i + 1}.{j}",
+        norm_key=lambda i: f"backbone.norm{i + 1}",
+        depths=depths,
+    )
+
+    def basic_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.conv", bias=False)
+                + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.bn"))
+
+    def rfb_pairs(fp, tk):
+        q = basic_pairs((*fp, "BasicConv2d_0"), f"{tk}.branch0.0")
+        bi = 1
+        for br in (1, 2, 3):
+            for j in range(4):
+                q += basic_pairs((*fp, f"BasicConv2d_{bi}"), f"{tk}.branch{br}.{j}")
+                bi += 1
+        q += basic_pairs((*fp, "BasicConv2d_13"), f"{tk}.conv_cat")
+        q += basic_pairs((*fp, "BasicConv2d_14"), f"{tk}.conv_res")
+        return q
+
+    for i in range(4):
+        p += rfb_pairs((f"RFB_{i}",), f"rfb{i + 1}_1")
+    agg = ("Aggregation_0",)
+    for fi, tk in enumerate(("conv_upsample1", "conv_upsample2", "conv_upsample3",
+                             "conv_upsample4", "conv_concat2", "conv_upsample5",
+                             "conv_concat3", "conv4")):
+        p += basic_pairs((*agg, f"BasicConv2d_{fi}"), f"agg.{tk}")
+    p += conv_pairs((*agg, "Conv_0"), "agg.conv6")
+    p += conv_pairs((*agg, "Conv_1"), "agg.conv5")
+    # CBR chain, call order CBR4 -> CBR3 -> CBR2 -> CBR1 (`BMANet.py:745-753`)
+    for fi, n in enumerate((4, 3, 2, 1)):
+        p += conv_pairs((f"Conv_{fi}",), f"CBR{n}.cbr.0")
+        p += bn_pairs((f"BatchNorm_{fi}",), f"CBR{n}.cbr.1")
+    fc = ("FusionConv_0",)
+    p += conv_pairs((*fc, "Conv_0"), "BAM.fusion_conv.down")
+    p += conv_pairs((*fc, "Conv_1"), "BAM.fusion_conv.channel_attention.fc.0", bias=False)
+    p += conv_pairs((*fc, "Conv_2"), "BAM.fusion_conv.channel_attention.fc.2", bias=False)
+    p += conv_pairs((*fc, "Conv_3"), "BAM.fusion_conv.conv_3x3")
+    p += conv_pairs((*fc, "Conv_4"), "BAM.fusion_conv.conv_5x5")
+    p += conv_pairs((*fc, "Conv_5"), "BAM.fusion_conv.conv_7x7")
+    p += conv_pairs((*fc, "Conv_6"), "BAM.fusion_conv.spatial_attention.conv1", bias=False)
+    p += conv_pairs((*fc, "Conv_7"), "BAM.fusion_conv.up")
+
+    def bma_pairs(fp, tk):
+        cb = (*fp, "CBAMBlock_0")
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.conv_pred")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.fusion_conv.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.fusion_conv.1")
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.attention.0")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.attention.1")
+            + dense_pairs((*cb, "Dense_0"), f"{tk}.cbam.ChannelGate.mlp.1")
+            + dense_pairs((*cb, "Dense_1"), f"{tk}.cbam.ChannelGate.mlp.3")
+            + conv_pairs((*cb, "Conv_0"), f"{tk}.cbam.SpatialGate.spatial")
+            + conv_pairs((*fp, "Conv_3"), f"{tk}.pred")
+        )
+
+    for fi, n in enumerate((4, 3, 2)):
+        p += bma_pairs((f"BMA_{fi}",), f"BMA{n}")
+    p += basic_pairs(("BasicConv2d_0",), "fuse")
+    return p
+
+
+def res2net50_pairs(fpath=("Res2Net50Encoder_0",), tprefix="resnet.",
+                    blocks=(3, 4, 6, 3)):
+    """Pair list for `mm_unet_tpu.models.resnet.Res2Net50Encoder` <- the
+    reference deep-stem Res2Net-50 v1b (`src/CFANet/CFANet.py:13-147`)."""
+    t = lambda k: f"{tprefix}{k}"
+    p = []
+    for fi, tk in ((0, "conv1.0"), (1, "conv1.3"), (2, "conv1.6")):
+        p += conv_pairs((*fpath, f"Conv_{fi}"), t(tk), bias=False)
+    for fi, tk in ((0, "conv1.1"), (1, "conv1.4"), (2, "bn1")):
+        p += bn_pairs((*fpath, f"BatchNorm_{fi}"), t(tk))
+    k = 0
+    for i, n in enumerate(blocks):
+        for j in range(n):
+            fb = (*fpath, f"Bottle2neck_{k}")
+            tb = t(f"layer{i + 1}.{j}")
+            k += 1
+            p += conv_pairs((*fb, "Conv_0"), f"{tb}.conv1", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_0"), f"{tb}.bn1")
+            for s in range(3):  # scale-1 hierarchical 3x3s
+                p += conv_pairs((*fb, f"Conv_{1 + s}"), f"{tb}.convs.{s}", bias=False)
+                p += bn_pairs((*fb, f"BatchNorm_{1 + s}"), f"{tb}.bns.{s}")
+            p += conv_pairs((*fb, "Conv_4"), f"{tb}.conv3", bias=False)
+            p += bn_pairs((*fb, "BatchNorm_4"), f"{tb}.bn3")
+            if j == 0:  # every stage-first block has the v1b shortcut
+                p += conv_pairs((*fb, "Conv_5"), f"{tb}.downsample.1", bias=False)
+                p += bn_pairs((*fb, "BatchNorm_5"), f"{tb}.downsample.2")
+    return p
+
+
+def cfanet_pairs(channel=64):
+    """Map `mm_unet_tpu.models.cfanet.CFANet` <- reference
+    `src/CFANet/CFANet.py:414-553`: deep-stem Res2Net-50 encoder, GateFusion,
+    CFF high fusions, edge decoder, dual BAM saliency cascades."""
+    p = res2net50_pairs()
+
+    def cbr_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.0")
+                + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.1"))
+
+    def basic_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.conv", bias=False)
+                + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.bn"))
+
+    def ca_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.fc1", bias=False)
+                + conv_pairs((*fp, "Conv_1"), f"{tk}.fc2", bias=False))
+
+    def bam_pairs(fp, tk):
+        gm = (*fp, "GlobalModule_0")
+        return (
+            basic_pairs((*fp, "BasicConv2d_0"), f"{tk}.conv_layer")
+            + conv_pairs((*gm, "Conv_0"), f"{tk}.global_att.global_att.1")
+            + bn_pairs((*gm, "BatchNorm_0"), f"{tk}.global_att.global_att.2")
+            + conv_pairs((*gm, "Conv_1"), f"{tk}.global_att.global_att.4")
+            + bn_pairs((*gm, "BatchNorm_1"), f"{tk}.global_att.global_att.5")
+        )
+
+    def cff_pairs(fp, tk):
+        return (
+            basic_pairs((*fp, "BasicConv2d_0"), f"{tk}.layer0")
+            + basic_pairs((*fp, "BasicConv2d_1"), f"{tk}.layer1")
+            + cbr_pairs((*fp, "ConvBNReLU_0"), f"{tk}.layer3_1")
+            + cbr_pairs((*fp, "ConvBNReLU_1"), f"{tk}.layer5_1")
+            + cbr_pairs((*fp, "ConvBNReLU_2"), f"{tk}.layer3_2")
+            + cbr_pairs((*fp, "ConvBNReLU_3"), f"{tk}.layer5_2")
+            + cbr_pairs((*fp, "ConvBNReLU_4"), f"{tk}.layer_out")
+        )
+
+    p += cbr_pairs(("ConvBNReLU_0",), "layer0")
+    p += cbr_pairs(("ConvBNReLU_1",), "layer1")
+    p += conv_pairs(("GateFusion_0", "Conv_0"), "low_fusion.gate_1")
+    p += conv_pairs(("GateFusion_0", "Conv_1"), "low_fusion.gate_2")
+    for fi, tk in enumerate(("layer_edge0", "layer_edge1", "layer_edge2")):
+        p += cbr_pairs((f"ConvBNReLU_{fi + 2}",), tk)
+    p += conv_pairs(("Conv_0",), "layer_edge3.0")
+    for fi, tk in enumerate(("atten_edge_ori", "atten_edge_0", "atten_edge_1",
+                             "atten_edge_2")):
+        p += ca_pairs((f"ChannelAttention_{fi}",), tk)
+    p += cff_pairs(("CFF_0",), "high_fusion1")
+    p += cff_pairs(("CFF_1",), "high_fusion2")
+    # cascades: (cat_01, hig01, cat_11, hig11, cat_21, hig21, cat_31) then
+    # the same with suffix 2 (`CFANet.py:525-546`)
+    for suf, conv_i in (("1", "Conv_1"), ("2", "Conv_2")):
+        chain = (f"cat_0{suf}", f"layer_hig0{suf}", f"cat_1{suf}",
+                 f"layer_hig1{suf}", f"cat_2{suf}", f"layer_hig2{suf}",
+                 f"cat_3{suf}")
+        for step, tk in enumerate(chain):
+            if tk.startswith("cat"):
+                p += bam_pairs((f"BAM_{(0 if suf == '1' else 4) + step // 2}",), tk)
+            else:
+                p += cbr_pairs((f"ConvBNReLU_{(5 if suf == '1' else 8) + step // 2}",), tk)
+        p += conv_pairs((conv_i,), f"layer_hig3{suf}.0")
+    p += conv_pairs(("Conv_3",), "layer_fil.0")
+    return p
+
+
+def pvt_cascade_pairs(depths=(3, 4, 6, 3)):
+    """Map `mm_unet_tpu.models.pvt_cascade.PVT_CASCADE` <- reference
+    `src/PVT_CA/PVT_CA.py:569-628`: PVTv2-b2 encoder + CASCADE decoder
+    (attention-gated skips, per-level channel attention, ONE shared spatial
+    attention), four prediction heads."""
+    p = pvtv2_pairs(
+        ("PVTv2_0",),
+        pe_key=lambda i: f"backbone.patch_embed{i + 1}",
+        blk_key=lambda i, j: f"backbone.block{i + 1}.{j}",
+        norm_key=lambda i: f"backbone.norm{i + 1}",
+        depths=depths,
+    )
+
+    def conv_block_pairs(fp, tk):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.conv.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.conv.1")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.conv.3")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.conv.4")
+        )
+
+    def up_conv_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.up.1")
+                + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.up.2"))
+
+    def ag_pairs(fp, tk):
+        return (
+            conv_pairs((*fp, "Conv_0"), f"{tk}.W_g.0")
+            + bn_pairs((*fp, "BatchNorm_0"), f"{tk}.W_g.1")
+            + conv_pairs((*fp, "Conv_1"), f"{tk}.W_x.0")
+            + bn_pairs((*fp, "BatchNorm_1"), f"{tk}.W_x.1")
+            + conv_pairs((*fp, "Conv_2"), f"{tk}.psi.0")
+            + bn_pairs((*fp, "BatchNorm_2"), f"{tk}.psi.1")
+        )
+
+    def ca_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.fc1", bias=False)
+                + conv_pairs((*fp, "Conv_1"), f"{tk}.fc2", bias=False))
+
+    p += conv_pairs(("Conv_0",), "decoder.SA.conv1", bias=False)  # shared SA
+    p += conv_pairs(("Conv_1",), "decoder.Conv_1x1")
+    p += ca_pairs(("ChannelAttention_0",), "decoder.CA4")
+    p += conv_block_pairs(("ConvBlock_0",), "decoder.ConvBlock4")
+    for fi, n in enumerate((3, 2, 1)):
+        p += up_conv_pairs((f"UpConv_{fi}",), f"decoder.Up{n}")
+        p += ag_pairs((f"AttentionGate_{fi}",), f"decoder.AG{n}")
+        p += ca_pairs((f"ChannelAttention_{fi + 1}",), f"decoder.CA{n}")
+        p += conv_block_pairs((f"ConvBlock_{fi + 1}",), f"decoder.ConvBlock{n}")
+    for fi, n in enumerate((1, 2, 3, 4)):
+        p += conv_pairs((f"Conv_{fi + 2}",), f"out_head{n}")
+    return p
+
+
 def _find_subtree(tree, prefix: str, path=()):
     """DFS for the first dict key starting with `prefix`; returns its path."""
     if not isinstance(tree, dict) and not hasattr(tree, "items"):

@@ -528,6 +528,109 @@ def test_dkdualnet_full_forward_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_cvc_unetr_full_forward_vs_reference(ref):
+    """FULL CVC_Unetr forward vs the reference source
+    (`src/CVCUNETR/NewCVC.py:583-635`, the variant `give_model` instantiates
+    for 'CVC_UNETR'): its own PVTv2-b2, three rep-style AttentionBlocks,
+    fuse heads, GlobalSparseTransformer (head-major qkv, unscaled attention)
+    + depthwise-ConvTranspose LocalReverseDiffusion."""
+    from mm_unet_tpu.models.cvc_unetr import CVC_Unetr
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/CVCUNETR/NewCVC.py", name="_ref_newcvc")
+    torch.manual_seed(9)
+    tm = rmod.CVC_Unetr(in_channels=3, out_channels=1).eval()
+
+    rng = np.random.default_rng(20)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = CVC_Unetr(in_channels=3, out_channels=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.cvc_unetr_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_bmanet_full_forward_vs_reference(ref):
+    """FULL BMANet forward vs the reference source
+    (`src/BMANet/BMANet.py:675-767`): RFB receptive-field blocks, dense
+    aggregation, CBR boundary chain, BAM edge fusion (dual-pool channel
+    attention), three cascaded BMA heads with CBAM, sigmoid-before-upsample
+    output (this model emits probabilities)."""
+    from mm_unet_tpu.models.bmanet import BMANet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/BMANet/BMANet.py", name="_ref_bmanet")
+    torch.manual_seed(10)
+    tm = rmod.BMANet(channel=64, out_channel=1).eval()
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = BMANet(channel=64, out_channel=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.bmanet_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_cfanet_full_forward_vs_reference(ref):
+    """FULL CFANet forward vs the reference source
+    (`src/CFANet/CFANet.py:414-553`): deep-stem Res2Net-50 v1b encoder (live
+    state_dict, exercising every Bottle2neck), GateFusion low-level gate,
+    two CFF cross-fusions, edge decoder with channel attentions, dual BAM
+    saliency cascades, 4-map summed output."""
+    from mm_unet_tpu.models.cfanet import CFANet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/CFANet/CFANet.py", name="_ref_cfanet")
+    torch.manual_seed(11)
+    tm = rmod.CFANet(in_class=3, out_class=1, channel=64).eval()
+
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = CFANet(in_class=3, out_class=1, channel=64)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.cfanet_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_pvt_cascade_full_forward_vs_reference(ref):
+    """FULL PVT_CASCADE forward vs the reference source
+    (`src/PVT_CA/PVT_CA.py:569-628`): PVTv2-b2 encoder, CASCADE decoder
+    (nearest up_conv, attention gates, channel attentions, one shared spatial
+    attention), sum of four bilinear-upsampled heads."""
+    from mm_unet_tpu.models.pvt_cascade import PVT_CASCADE
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/PVT_CA/PVT_CA.py", name="_ref_pvtca")
+    torch.manual_seed(12)
+    tm = rmod.PVT_CASCADE(n_class=3, o_class=1).eval()
+
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = PVT_CASCADE(n_class=3, o_class=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.pvt_cascade_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # module level: the installed tri-directional Mamba
 # ---------------------------------------------------------------------------
