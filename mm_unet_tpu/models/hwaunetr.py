@@ -12,12 +12,22 @@ from flax import linen as nn
 
 from mm_unet_tpu.models.layers import nchw_to_nhwc, nhwc_to_nchw
 from mm_unet_tpu.models.mamba import Mamba
+from mm_unet_tpu.models.registry import register_model
 
 Array = jax.Array
 
 
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
+
+
+def _in(x):
+    """torch nn.InstanceNorm2d default: affine=False, eps=1e-5."""
+    return nn.InstanceNorm(use_scale=False, use_bias=False, epsilon=1e-5)(x)
+
+
 def _act(shallow):
-    return nn.gelu if shallow else nn.silu
+    return _gelu if shallow else nn.silu
 
 
 class MlpChannel(nn.Module):
@@ -40,10 +50,10 @@ class GMPBlock(nn.Module):
     def __call__(self, x):
         act = _act(self.shallow)
         res = x
-        x1 = act(nn.InstanceNorm()(nn.Conv(self.dim, (3, 3), padding="SAME")(x)))
-        x1 = act(nn.InstanceNorm()(nn.Conv(self.dim, (3, 3), padding="SAME")(x1)))
-        x2 = act(nn.InstanceNorm()(nn.Conv(self.dim, (1, 1))(x)))
-        h = act(nn.InstanceNorm()(nn.Conv(self.dim, (1, 1))(x1 + x2)))
+        x1 = act(_in(nn.Conv(self.dim, (3, 3), padding="SAME")(x)))
+        x1 = act(_in(nn.Conv(self.dim, (3, 3), padding="SAME")(x1)))
+        x2 = act(_in(nn.Conv(self.dim, (1, 1))(x)))
+        h = act(_in(nn.Conv(self.dim, (1, 1))(x1 + x2)))
         return h + res
 
 
@@ -57,7 +67,7 @@ class MFABlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        tokens = nn.LayerNorm()(x.reshape(b, h * w, c))
+        tokens = nn.LayerNorm(epsilon=1e-5)(x.reshape(b, h * w, c))
         out, q, k, v = Mamba(
             d_model=c, bimamba_type="v3", nslices=self.num_slices, name="mamba"
         )(tokens)
@@ -97,6 +107,7 @@ class HWABlock(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+@register_model("HWAUNETR")
 class HWAUNETR(nn.Module):
     in_chans: int = 4
     out_chans: int = 3
@@ -114,14 +125,14 @@ class HWAUNETR(nn.Module):
         for i in range(4):
             ks = self.kernel_sizes[i]
             if i > 0:
-                h = nn.InstanceNorm()(h)
+                h = _in(h)
             h = nn.Conv(self.dims[i], (ks, ks), strides=(ks, ks))(h)
             h = GMPBlock(self.dims[i], shallow=(i <= 1))(h)
             f = h
             for _ in range(self.depths[i]):
                 f = MFABlock(self.dims[i], self.num_slices_list[i])(f)
             feats.append(f)
-            h = nn.InstanceNorm()(h)
+            h = _in(h)
             h = MlpChannel(self.dims[i], 2 * self.dims[i], shallow=(i < 2))(h)
 
         deep = nn.Conv(self.hidden_size, (2, 2), strides=(2, 2))(h)

@@ -36,6 +36,34 @@ def _resize_matrix_align_corners(n: int, m: int) -> np.ndarray:
     return w
 
 
+def _resize_matrix_half_pixel(n: int, m: int) -> "np.ndarray":
+    """Row-interp matrix for torch F.interpolate(mode='bilinear',
+    align_corners=False) WITHOUT antialiasing: src = (dst + 0.5) * n/m - 0.5,
+    edge-clamped, triangle kernel of width 1 regardless of scale (unlike
+    jax.image.resize, which widens the kernel when downsampling)."""
+    pos = np.clip((np.arange(m, dtype=np.float64) + 0.5) * (n / m) - 0.5, 0, n - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (pos - lo).astype(np.float32)
+    w = np.zeros((m, n), np.float32)
+    w[np.arange(m), lo] += 1.0 - frac
+    w[np.arange(m), hi] += frac
+    return w
+
+
+def resize_bilinear_torch(x: Array, out_hw: tuple[int, int]) -> Array:
+    """NHWC bilinear resize matching torch F.interpolate(align_corners=False)
+    exactly, up- or downsampling (no antialias), as two small matmuls."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    mh = jnp.asarray(_resize_matrix_half_pixel(h, oh))
+    mw = jnp.asarray(_resize_matrix_half_pixel(w, ow))
+    x = jnp.einsum("bhwc,ph->bpwc", x, mh.astype(x.dtype))
+    return jnp.einsum("bhwc,qw->bhqc", x, mw.astype(x.dtype))
+
+
 def resize_bilinear_align_corners(x: Array, out_hw: tuple[int, int]) -> Array:
     """NHWC bilinear resize with align_corners=True, as two small matmuls
     (MXU-friendly; no gathers)."""

@@ -59,7 +59,7 @@ def give_model(config):
     for optional in (
         "um_net", "transunet", "unetr", "swin_unetr", "fcbformer", "duat",
         "cfanet", "cfpnet", "pvt_cascade", "cvc_unetr", "bmanet", "vanet",
-        "dkdualnet", "convunext",
+        "dkdualnet", "convunext", "hwaunetr",
     ):
         try:
             __import__(f"mm_unet_tpu.models.{optional}")

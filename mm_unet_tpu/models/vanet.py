@@ -11,7 +11,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mm_unet_tpu.models.layers import nchw_to_nhwc, nhwc_to_nchw, resize_bilinear_align_corners
+from mm_unet_tpu.models.layers import (nchw_to_nhwc, nhwc_to_nchw,
+                                        resize_bilinear_align_corners,
+                                        resize_bilinear_torch)
 from mm_unet_tpu.models.registry import register_model
 
 Array = jax.Array
@@ -43,6 +45,8 @@ class CvTAttention(nn.Module):
     pool_kv: bool = False  # avg-pool k/v 2x (encoder stage2 odd blocks)
     attn_drop: float = 0.0  # on attention weights (ref cls_cvt.py:459)
     proj_drop: float = 0.0  # after output projection (ref cls_cvt.py:464)
+    qkv_bias: bool = True  # yaml QKV_BIAS for CvT stages; VANet's own
+    # decoder blocks use the Block default False (`VANet.py:167-199`)
 
     @nn.compact
     def __call__(self, x, train: bool = False, r=None):
@@ -57,15 +61,18 @@ class CvTAttention(nn.Module):
 
         nh = self.num_heads
         hd = self.dim // nh
-        qt = nn.Dense(self.dim, use_bias=False)(q.reshape(b, H * W, c)).reshape(b, -1, nh, hd)
-        kt = nn.Dense(self.dim, use_bias=False)(k.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
-        vt = nn.Dense(self.dim, use_bias=False)(v.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
+        qb = self.qkv_bias
+        qt = nn.Dense(self.dim, use_bias=qb)(q.reshape(b, H * W, c)).reshape(b, -1, nh, hd)
+        kt = nn.Dense(self.dim, use_bias=qb)(k.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
+        vt = nn.Dense(self.dim, use_bias=qb)(v.reshape(b, hk * wk, c)).reshape(b, -1, nh, hd)
         att = jnp.einsum("blhd,bthd->bhlt", qt, kt) * (self.dim ** -0.5)
         att = jax.nn.softmax(att, axis=-1)
         if r is not None:
             alpha = self.param("alpha", nn.initializers.ones, ())
-            r0 = resize_bilinear_align_corners(r, (H, W)).reshape(b, H * W, -1)
-            r1 = resize_bilinear_align_corners(r, (hk, wk)).reshape(b, hk * wk, -1)
+            # F.interpolate default: align_corners=False, NO antialias even
+            # when downsampling (`cls_cvt.py:450-453`)
+            r0 = resize_bilinear_torch(r, (H, W)).reshape(b, H * W, -1)
+            r1 = resize_bilinear_torch(r, (hk, wk)).reshape(b, hk * wk, -1)
             guide = jnp.abs(jnp.einsum("bxc,byc->bxy", r0, r1))[:, None] + 1.0
             guide = guide / jnp.max(guide, axis=3, keepdims=True)
             att = alpha * guide * att
@@ -96,12 +103,13 @@ class CvTBlock(nn.Module):
     mlp_drop: float = 0.0  # 'drop' after each MLP dense (ref cls_cvt.py:71,73)
     attn_drop: float = 0.0
     drop_path: float = 0.0  # on both residual branches (ref cls_cvt.py:583-584)
+    qkv_bias: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, r=None):
         h = nn.LayerNorm(epsilon=1e-5)(x)
         h = CvTAttention(self.dim, self.num_heads, self.stride_kv, self.pool_kv,
-                         self.attn_drop, self.mlp_drop)(h, train, r)
+                         self.attn_drop, self.mlp_drop, self.qkv_bias)(h, train, r)
         x = x + _drop_path(h, self.drop_path, train, self)
         m = nn.LayerNorm(epsilon=1e-5)(x)
         m = nn.Dense(int(self.dim * self.mlp_ratio))(m)
@@ -133,8 +141,13 @@ class PatchExpand(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2):
-        x1 = resize_bilinear_align_corners(
-            x1, (x1.shape[1] * self.stride, x1.shape[2] * self.stride)
+        # reference nn.Upsample(mode='bilinear') default align_corners=False
+        # (`VANet.py:91`)
+        x1 = jax.image.resize(
+            x1,
+            (x1.shape[0], x1.shape[1] * self.stride, x1.shape[2] * self.stride,
+             x1.shape[3]),
+            "linear",
         )
         p = self.patch
         h = nn.Conv(self.dim, (p, p), padding="SAME")(jnp.concatenate([x1, x2], -1))
@@ -196,13 +209,15 @@ class VANet(nn.Module):
         f = PatchExpand(dims[1], 2 * self.strides[2] - 1, self.strides[2])(f, f1)
         for _ in range(self.depths[1]):
             f = CvTBlock(dims[1], heads[1], mr[1], stride_kv=2,
-                         mlp_drop=pd, attn_drop=ad, drop_path=dp)(f, train, r=out1)
+                         mlp_drop=pd, attn_drop=ad, drop_path=dp,
+                         qkv_bias=False)(f, train, r=out1)
         out2 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
         f = PatchExpand(dims[0], 2 * self.strides[1] - 1, self.strides[1])(f, f0)
         for _ in range(self.depths[0]):
             f = CvTBlock(dims[0], heads[0], mr[0], stride_kv=2,
-                         mlp_drop=pd, attn_drop=ad, drop_path=dp)(f, train, r=out2)
+                         mlp_drop=pd, attn_drop=ad, drop_path=dp,
+                         qkv_bias=False)(f, train, r=out2)
         out3 = nn.Conv(self.num_class, (3, 3), padding="SAME")(f)
 
         out = jax.nn.sigmoid(out3)  # ref parity: sigmoid before upsample

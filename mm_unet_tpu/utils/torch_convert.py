@@ -1235,6 +1235,109 @@ def pvt_cascade_pairs(depths=(3, 4, 6, 3)):
     return p
 
 
+def hwaunetr_pairs(dims=(48, 96, 192, 384), depths=(1, 1, 1, 1)):
+    """Map `mm_unet_tpu.models.hwaunetr.HWAUNETR` <- reference
+    `src/model/HWAUNETR.py:405-441`: downsample/GMP/MFA encoder (v3 Mamba
+    whose directional outputs drive an LxL attention), InstanceNorm+MLP trunk,
+    transposed-conv decoder. InstanceNorms are non-affine (no params)."""
+    p = []
+    mfa = 0
+    for i in range(4):
+        tds = f"Encoder.downsample_layers.{i}.{0 if i == 0 else 1}"
+        p += conv_pairs((f"Conv_{i}",), tds)
+        g = (f"GMPBlock_{i}",)
+        tg = f"Encoder.gscs.{i}"
+        for fj, tk in enumerate(("proj", "proj2", "proj3", "proj4")):
+            p += conv_pairs((*g, f"Conv_{fj}"), f"{tg}.{tk}")
+        for j in range(depths[i]):
+            fp = (f"MFABlock_{mfa}",)
+            tb = f"Encoder.stages.{i}.{j}"
+            mfa += 1
+            p += norm_pairs((*fp, "LayerNorm_0"), f"{tb}.norm")
+            p += mamba_pairs((*fp, "mamba"), f"{tb}.mamba", dims[i])
+            p += conv_pairs((*fp, "Conv_0"), f"{tb}.fussion1")
+            p += conv_pairs((*fp, "Conv_1"), f"{tb}.fussion2")
+        m = (f"MlpChannel_{i}",)
+        p += conv_pairs((*m, "Conv_0"), f"Encoder.mlps.{i}.fc1")
+        p += conv_pairs((*m, "Conv_1"), f"Encoder.mlps.{i}.fc2")
+    p += conv_pairs(("Conv_4",), "hidden_downsample")
+    for fi in range(4):
+        tk = f"TSconv{fi + 1}"
+        p += [((f"ConvTranspose_{2 * fi}", "kernel"), f"{tk}.transposed1.weight", "convT"),
+              ((f"ConvTranspose_{2 * fi}", "bias"), f"{tk}.transposed1.bias", "raw"),
+              ((f"ConvTranspose_{2 * fi + 1}", "kernel"), f"{tk}.transposed2.weight", "convT"),
+              ((f"ConvTranspose_{2 * fi + 1}", "bias"), f"{tk}.transposed2.bias", "raw")]
+        p += norm_pairs((f"GroupNorm_{fi}",), f"{tk}.norm")
+    p += [(("ConvTranspose_8", "kernel"), "SegHead.weight", "convT"),
+          (("ConvTranspose_8", "bias"), "SegHead.bias", "raw")]
+    return p
+
+
+def vanet_pairs(depths=(1, 2, 10)):
+    """Map `mm_unet_tpu.models.vanet.VANet` <- reference `src/VANet/VANet.py`
+    + `models/cls_cvt.py` (CvT-13 yaml spec): conv patch embeds, CvT blocks
+    with dw-conv+BN projections and mask-guided attention, PatchExpand
+    decoder, four mask heads. `alpha` is mapped only on blocks that receive
+    the mask prior `r` (the rebuild creates it lazily)."""
+
+    def cvt_block_pairs(fp, tk, qkv_bias=True, alpha=False):
+        at = (*fp, "CvTAttention_0")
+        p = (
+            norm_pairs((*fp, "LayerNorm_0"), f"{tk}.norm1")
+            + norm_pairs((*fp, "LayerNorm_1"), f"{tk}.norm2")
+            + dense_pairs((*fp, "Dense_0"), f"{tk}.mlp.fc1")
+            + dense_pairs((*fp, "Dense_1"), f"{tk}.mlp.fc2")
+        )
+        for fi, name in enumerate(("q", "k", "v")):
+            cp = (*at, f"ConvProj_{fi}")
+            p += conv_pairs((*cp, "Conv_0"), f"{tk}.attn.conv_proj_{name}.conv",
+                            bias=False)
+            p += bn_pairs((*cp, "BatchNorm_0"), f"{tk}.attn.conv_proj_{name}.bn")
+            p += dense_pairs((*at, f"Dense_{fi}"), f"{tk}.attn.proj_{name}",
+                             bias=qkv_bias)
+        p += dense_pairs((*at, "Dense_3"), f"{tk}.attn.proj")
+        if alpha:
+            p += [((*at, "alpha"), f"{tk}.attn.alpha", "raw")]
+        return p
+
+    def patch_pairs(fp, tk):
+        return (conv_pairs((*fp, "Conv_0"), f"{tk}.proj")
+                + norm_pairs((*fp, "LayerNorm_0"), f"{tk}.norm"))
+
+    p = patch_pairs(("PatchMerge_0",), "encoder_stage0.patch_embed")
+    blk = 0
+    for j in range(depths[0]):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"encoder_stage0.blocks.{j}")
+        blk += 1
+    p += patch_pairs(("PatchMerge_1",), "encoder_stage1.patch_embed")
+    for j in range(depths[1]):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"encoder_stage1.blocks.{j}")
+        blk += 1
+    p += patch_pairs(("PatchMerge_2",), "encoder_stage2_merge")
+    for j in range(depths[2] // 2):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"encoder_stage2_blk.{j}")
+        blk += 1
+    p += conv_pairs(("Conv_0",), "mask_head0")
+    for j in range(depths[2] - depths[2] // 2):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"decoder_stage0_blk.{j}",
+                             alpha=True)
+        blk += 1
+    p += conv_pairs(("Conv_1",), "mask_head1")
+    p += patch_pairs(("PatchExpand_0",), "decoder_stage1_expand")
+    for j in range(depths[1]):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"decoder_stage1_blk.{j}",
+                             qkv_bias=False, alpha=True)
+        blk += 1
+    p += conv_pairs(("Conv_2",), "mask_head2")
+    p += patch_pairs(("PatchExpand_1",), "decoder_stage2_expand")
+    for j in range(depths[0]):
+        p += cvt_block_pairs((f"CvTBlock_{blk}",), f"decoder_stage2_blk.{j}",
+                             qkv_bias=False, alpha=True)
+        blk += 1
+    p += conv_pairs(("Conv_3",), "mask_head3")
+    return p
+
+
 def _find_subtree(tree, prefix: str, path=()):
     """DFS for the first dict key starting with `prefix`; returns its path."""
     if not isinstance(tree, dict) and not hasattr(tree, "items"):

@@ -307,6 +307,58 @@ def install():
     _stub_module("mmengine.model", constant_init=_constant_init,
                  kaiming_init=_kaiming_init)
 
+    # minimal yacs (VANet's config system): CfgNode = dict with attribute
+    # access + yaml merge; freeze/defrost are bookkeeping we don't need
+    class _CfgNode(dict):
+        def __init__(self, init_dict=None, new_allowed=False, **kw):
+            super().__init__()
+            for k, v in (init_dict or {}).items():
+                self[k] = _CfgNode(v) if isinstance(v, dict) else v
+
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
+        def defrost(self):
+            pass
+
+        def freeze(self):
+            pass
+
+        def clone(self):
+            import copy
+
+            return copy.deepcopy(self)
+
+        def _merge(self, other):
+            for k, v in other.items():
+                if isinstance(v, dict) and isinstance(self.get(k), _CfgNode):
+                    self[k]._merge(v)
+                else:
+                    self[k] = _CfgNode(v) if isinstance(v, dict) else v
+
+        def merge_from_file(self, path):
+            import yaml
+
+            with open(path) as f:
+                self._merge(yaml.safe_load(f))
+
+        def merge_from_list(self, opts):
+            for k, v in zip(opts[0::2], opts[1::2]):
+                node = self
+                parts = k.split(".")
+                for pk in parts[:-1]:
+                    node = node[pk]
+                node[parts[-1]] = v
+
+    _stub_module("yacs")
+    _stub_module("yacs.config", CfgNode=_CfgNode)
+
     # 6. the installed (modified) Mamba module. MMConv constructs
     # Mamba(bimamba_type="v1") which the module's own assert rejects
     # (`mamba_simple.py:125`, TODO at `MMUNet.py:33`); the only

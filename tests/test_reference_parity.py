@@ -130,6 +130,53 @@ def test_unet_vs_reference(ref, bilinear):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+def test_mini_model_vs_reference(ref):
+    """Top-level mini `model.py` (`/root/reference/model.py:57-86`): with
+    bilinear=False it is architecturally the src UNet (InConv==DoubleConv,
+    factor 1), so convert by renaming the mini state-dict keys to the src
+    layout and reuse `unet_pairs`."""
+    import importlib.util
+    import pathlib
+
+    # load the REPO's top-level model.py by path — `import model` would pick
+    # up /root/reference/model.py once ref_harness puts REF at sys.path[0]
+    _spec = importlib.util.spec_from_file_location(
+        "_repo_mini_model", pathlib.Path(__file__).resolve().parents[1] / "model.py"
+    )
+    mini = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(mini)
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("model.py", name="_ref_mini_model")
+    torch.manual_seed(0)
+    tm = rmod.Unet(in_channels=3, classes=1).eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    sd = {}
+    for k, v in _numpy_sd(tm).items():
+        k = k.replace("inc.conv.", "inc.double_conv.")
+        for i in range(1, 5):
+            k = k.replace(f"down{i}.down.1.conv.",
+                          f"down{i}.maxpool_conv.1.double_conv.")
+            k = k.replace(f"up{i}.conv.conv.", f"up{i}.conv.double_conv.")
+        sd[k] = v
+    # mini convs have bias=True (src UNet: bias=False); each is followed by
+    # BN, so fold the bias exactly: BN((x+b - mean)/...) == BN with mean-b
+    for ci, bi in ((0, 1), (3, 4)):
+        for k in [k for k in sd if k.endswith(f"double_conv.{ci}.bias")]:
+            mk = k.replace(f".{ci}.bias", f".{bi}.running_mean")
+            sd[mk] = sd[mk] - sd.pop(k)
+
+    fm = mini.Unet(num_classes=1, n_channels=3)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, sd, tc.unet_pairs(False))
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
 def test_convunext_vs_reference(ref):
     from mm_unet_tpu.models.convunext import ConvUNeXt
     from mm_unet_tpu.utils import torch_convert as tc
@@ -627,6 +674,73 @@ def test_pvt_cascade_full_forward_vs_reference(ref):
     fm = PVT_CASCADE(n_class=3, o_class=1)
     variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
     variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.pvt_cascade_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_hwaunetr_full_forward_vs_reference(ref):
+    """FULL HWAUNETR forward vs the reference source
+    (`src/model/HWAUNETR.py:405-441`): GMP conv blocks, MFA blocks whose
+    tri-directional Mamba outputs (o1/o2/o3) drive an LxL token attention,
+    non-affine InstanceNorm trunk, transposed-conv decoder. 128² input so
+    every stage's token count divides its nslices (the reference runs 256²).
+    The trailing `from monai...` import is stubbed (unused demo code)."""
+    from mm_unet_tpu.models.hwaunetr import HWAUNETR
+    from mm_unet_tpu.utils import torch_convert as tc
+    import sys as _sys
+    import types as _types
+
+    _sys.modules.setdefault("monai", _types.ModuleType("monai"))
+    _sys.modules.setdefault("monai.networks", _types.ModuleType("monai.networks"))
+    nets = _types.ModuleType("monai.networks.nets")
+    nets.UNet = object
+    _sys.modules.setdefault("monai.networks.nets", nets)
+
+    rmod = ref_harness.load_ref_model_file("src/model/HWAUNETR.py", name="_ref_hwaunetr")
+    torch.manual_seed(13)
+    tm = rmod.HWAUNETR(in_chans=3, out_chans=1).eval()
+
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = HWAUNETR(in_chans=3, out_chans=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.hwaunetr_pairs())
+    got = fm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_vanet_full_forward_vs_reference(ref):
+    """FULL VANet forward vs the reference source (`src/VANet/VANet.py` +
+    `models/cls_cvt.py`, CvT-13 yaml): conv patch embeds, CvT blocks with
+    depthwise-conv+BN projections, stride-mutated odd encoder-stage2 blocks
+    (cue_sample avg-pool path), mask-guided decoder attention (alpha-scaled
+    |r_q x r_kv| guidance), PatchExpand decoder, sigmoid-before-upsample.
+    The harness supplies a minimal yacs CfgNode so the reference's config
+    system loads its own cvt-13-224x224.yaml."""
+    from mm_unet_tpu.models.vanet import VANet
+    from mm_unet_tpu.utils import torch_convert as tc
+
+    rmod = ref_harness.load_ref_model_file("src/VANet/VANet.py", name="_ref_vanet")
+    torch.manual_seed(14)
+    tm = rmod.VANet(
+        in_chans=3,
+        cfg="/root/reference/src/VANet/experiments/imagenet/cvt/cvt-13-224x224.yaml",
+        num_class=1,
+    ).eval()
+
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(_t(x)).numpy()
+
+    fm = VANet(num_class=1)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = tc.apply_pairs(variables, _numpy_sd(tm), tc.vanet_pairs())
     got = fm.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
