@@ -63,6 +63,11 @@ def create_train_state(model, config, rng, sample_input) -> TrainState:
         lr=schedule,
         weight_decay=float(tcfg.get("weight_decay", 0.05)),
         betas=(0.9, 0.95),
+        # flat (single-vector) AdamW ravels the whole tree — that implicit
+        # all-gather would undo tensor-parallel param shardings, so TP runs
+        # set flat_optimizer: false to keep the per-leaf optax path (which
+        # preserves each leaf's GSPMD sharding through the update).
+        flat=bool(tcfg.get("flat_optimizer", True)),
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -127,7 +132,9 @@ def train_step(state: TrainState, images, labels, dropout_rng, loss_fn,
 
     def loss_wrapped(params):
         variables = {"params": params}
-        mutable = []
+        # NOTE mutable must be False (not []) in the stat-less branch: flax
+        # returns a (y, {}) tuple for ANY collection list, empty included
+        mutable = False
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
             mutable = ["batch_stats"]

@@ -253,3 +253,37 @@ def test_stats_metrics_match_dense_updates():
             dense[name].aggregate(), from_stats[name].aggregate(),
             rtol=1e-6, atol=1e-9, err_msg=name,
         )
+
+
+def test_train_step_without_batch_stats():
+    """A BatchNorm-free model (empty batch_stats, has_batch_stats=False) goes
+    through train_step: flax apply(mutable=[]) returns a (y, {}) TUPLE even
+    for the empty list, so the stat-less branch must pass mutable=False
+    (regression: HWAUNETR was the first BN-free model driven via train.py)."""
+    from flax import linen as nn
+    from mm_unet_tpu.train.trainer import create_train_state, make_loss_fn, train_step
+    from mm_unet_tpu.utils.config import ConfigDict
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = jnp.transpose(x, (0, 2, 3, 1))
+            h = nn.Conv(4, (3, 3), padding="SAME")(h)
+            h = nn.GroupNorm(num_groups=2)(nn.relu(h))
+            h = nn.Conv(1, (1, 1))(h)
+            return jnp.transpose(h, (0, 3, 1, 2))
+
+    config = ConfigDict(trainer=dict(lr=1e-3, warmup=1, num_epochs=5,
+                                     weight_decay=0.05, steps_per_epoch=2,
+                                     optimizer="adamw"))
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (2, 3, 16, 16))
+    y = (jax.random.uniform(jax.random.fold_in(rng, 1), (2, 1, 16, 16)) > 0.8
+         ).astype(jnp.float32)
+    state = create_train_state(NoBN(), config, rng, x)
+    assert not jax.tree_util.tree_leaves(state.batch_stats)
+    loss_fn = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
+    state, scalars, stats = train_step(state, x, y, rng, loss_fn,
+                                       has_batch_stats=False)
+    assert jnp.isfinite(scalars["total_loss"])
+    assert stats["inter"].shape == (2, 1)
