@@ -68,6 +68,7 @@ def flat_adamw(
     weight_decay: float = 0.05,
     mask_tree=None,
     clip_norm: float | None = None,
+    pad_to: int = 256,
 ) -> optax.GradientTransformation:
     """AdamW over ONE raveled parameter vector — numerically identical to
     `optax.adamw(..., mask=mask_tree)` but fused: a model with hundreds of
@@ -78,11 +79,20 @@ def flat_adamw(
 
     State: (count, m, v, wd) with m/v/wd flat f32 vectors; `wd` is the
     weight-decay mask baked at init from `mask_tree` (see `wd_mask`).
+
+    The vectors are zero-padded to a multiple of `pad_to` (default 256) so
+    ZeRO-1 can lay them out P("data") over any mesh axis up to that size
+    (jax.device_put requires even shards); a FIXED multiple — rather than
+    the live device count — keeps the optimizer-state checkpoint layout
+    identical across topologies. Pad lanes see g=0/p=0 and stay exactly 0.
     """
     from jax.flatten_util import ravel_pytree
 
     def _lr(count):
         return lr(count) if callable(lr) else jnp.asarray(lr, jnp.float32)
+
+    def _pad(vec):
+        return jnp.pad(vec, (0, (-vec.shape[0]) % pad_to))
 
     def init(params):
         flat, _ = ravel_pytree(params)
@@ -94,17 +104,19 @@ def flat_adamw(
         )
         return {
             "count": jnp.zeros((), jnp.int32),
-            "m": jnp.zeros_like(flat),
-            "v": jnp.zeros_like(flat),
-            "wd": wd_vec,
+            "m": jnp.zeros_like(_pad(flat)),
+            "v": jnp.zeros_like(_pad(flat)),
+            "wd": _pad(wd_vec),
         }
 
     def update(grads, state, params):
         g, unravel = ravel_pytree(grads)
         p, _ = ravel_pytree(params)
+        n = g.shape[0]
         if clip_norm is not None:
             gn = jnp.sqrt(jnp.sum(g * g))
             g = g * jnp.minimum(1.0, clip_norm / jnp.maximum(gn, 1e-12))
+        g, p = _pad(g), _pad(p)
         count = state["count"] + 1
         m = b1 * state["m"] + (1.0 - b1) * g
         v = b2 * state["v"] + (1.0 - b2) * (g * g)
@@ -115,7 +127,7 @@ def flat_adamw(
         # optax's scale_by_schedule evaluates the schedule at the PRE-increment
         # count (first update sees lr(0)) — match it exactly
         u = -_lr(state["count"]) * u
-        return unravel(u), {"count": count, "m": m, "v": v, "wd": state["wd"]}
+        return unravel(u[:n]), {"count": count, "m": m, "v": v, "wd": state["wd"]}
 
     return optax.GradientTransformation(init, update)
 

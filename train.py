@@ -18,7 +18,7 @@ import numpy as np
 
 from mm_unet_tpu.data import get_dataloader
 from mm_unet_tpu.models import give_model
-from mm_unet_tpu.parallel import make_mesh, shard_batch
+from mm_unet_tpu.parallel import make_mesh, replicate, shard_batch, shard_opt_state
 from mm_unet_tpu.train.checkpoint import CheckpointManager, resume_train_state
 from mm_unet_tpu.train.inferers import SlidingWindowInferer
 from mm_unet_tpu.train.metrics import build_metrics
@@ -156,6 +156,20 @@ def main():
             params=restored["params"], batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(starting_epoch * len(train_loader), jax.numpy.int32),
+        )
+
+    if mesh.devices.size > 1:
+        # explicit SPMD placement: params/stats replicated; ZeRO-1 shards the
+        # flat AdamW moment vectors over `data` (trainer.zero1: false opts out)
+        opt_state = (
+            shard_opt_state(state.opt_state, mesh)
+            if config.trainer.get("zero1", True)
+            else replicate(state.opt_state, mesh)
+        )
+        state = state.replace(
+            params=replicate(state.params, mesh),
+            batch_stats=replicate(state.batch_stats, mesh),
+            opt_state=opt_state,
         )
 
     step = int(state.step)
