@@ -101,6 +101,24 @@ def main(logdir: str = "/tmp/mmu_trace", as_json: bool = False):
     print("-- top ops --")
     for name, t in items[:20]:
         print("  %6.2f%%  %8.2f ms  %s" % (100 * t / tot, t, name[:90]))
+    # per-category top ops (where do the copies/fusions actually come from?)
+    for want in ("copy/transpose", "fusion(elementwise)", "other"):
+        print(f"-- top {want} --")
+        shown = 0
+        for name, t in items:
+            cat = _CAT.get(_kind_of(name), "other")
+            if cat == "fusion(elementwise)":
+                head = name.lstrip("%").split(" ", 1)[0]
+                if "convolution" in head:
+                    cat = "convolution"
+                elif head.startswith(("copy", "transpose", "bitcast")):
+                    cat = "copy/transpose"
+            if cat != want:
+                continue
+            print("  %6.2f%%  %8.2f ms  %s" % (100 * t / tot, t, name[:140]))
+            shown += 1
+            if shown >= 12:
+                break
     return 0
 
 
