@@ -25,12 +25,12 @@ from mm_unet_tpu.train.metrics import build_metrics
 from mm_unet_tpu.train.trainer import (
     create_train_state, make_loss_fn, make_predictor, train_step,
 )
-from mm_unet_tpu.utils import Logger, load_config, same_seeds
+from mm_unet_tpu.utils import GracefulShutdown, Logger, load_config, same_seeds
 from mm_unet_tpu.utils.tracker import ScalarTracker
 
 
 def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rng,
-                    config, tracker=None):
+                    config, tracker=None, stop=None):
     t0 = time.time()
     n_img = 0
     num_epochs = config.trainer.num_epochs
@@ -51,6 +51,8 @@ def train_one_epoch(state, loss_fn, train_loader, metrics, mesh, epoch, step, rn
             tracker.log({f"Train/{k}": v for k, v in scalars.items()}, step=s)
 
     for i, batch in enumerate(train_loader):
+        if stop is not None and stop.requested:
+            break  # preemption: stop at a step boundary; caller checkpoints
         sharded, weight = shard_batch(
             {"image": batch["image"], "label": batch["label"]}, mesh
         )
@@ -172,13 +174,27 @@ def main():
             opt_state=opt_state,
         )
 
+    # preemption (SIGTERM/SIGINT) → finish the in-flight step, save a resume
+    # checkpoint, exit 0; restart with trainer.resume: true continues
+    stop = GracefulShutdown().install()
+
     step = int(state.step)
     val_step = 0
     for epoch in range(starting_epoch, int(config.trainer.num_epochs)):
         state, step, rng = train_one_epoch(
             state, loss_fn, train_loader, metrics, mesh, epoch, step, rng, config,
-            tracker=tracker,
+            tracker=tracker, stop=stop,
         )
+        if stop.requested:
+            tree = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state}
+            # epoch NOT +1: the interrupted epoch is redone on resume
+            manager.save_checkpoint(tree, {
+                "epoch": epoch, "best_acc": best_acc,
+                "best_class": best_meta.get("best_class", {}),
+            })
+            print(f"[preempt] checkpoint saved at epoch {epoch}; exiting")
+            return 0
         mean_f1, metric, val_step = val_one_epoch(
             state, loss_fn, inferer, val_loader, val_metrics, epoch, val_step, config,
             tracker=tracker,
