@@ -130,11 +130,43 @@ def remap_params(old_tree, new_template, verbose: bool = True):
     return new_tree, {"unmatched_new": unmatched_new, "unmatched_old": unmatched_old}
 
 
+def adapt_flat_opt_vectors(restored_tree, template_tree):
+    """Length-adapt the flat AdamW m/v/wd vectors to the template.
+
+    flat_adamw pads its vectors to a multiple of 256 (ZeRO-1 shardability);
+    checkpoints written before that (or with a different multiple) carry the
+    raw length. The pad lanes are exactly-zero by construction, so zero-
+    padding (or truncating trailing zeros) a restored vector reproduces the
+    state the current optimizer would have reached — no resume break.
+    """
+
+    def fix(path, restored, template):
+        name = getattr(path[-1], "key", None)
+        if (
+            name in ("m", "v", "wd")
+            and getattr(restored, "ndim", None) == 1
+            and getattr(template, "ndim", None) == 1
+            and restored.shape != template.shape
+        ):
+            n = template.shape[0]
+            if restored.shape[0] < n:
+                return np.pad(np.asarray(restored), (0, n - restored.shape[0]))
+            return np.asarray(restored)[:n]
+        return restored
+
+    return jax.tree_util.tree_map_with_path(fix, restored_tree, template_tree)
+
+
 def resume_train_state(manager: CheckpointManager, state_tree, mode: str = "checkpoint"):
     """Reference `utils.resume_train_state` (`src/utils.py:29-53`): restore
-    params/opt state and metadata; on any failure fall back to fresh start."""
+    params/opt state and metadata; on any failure fall back to fresh start.
+    A checkpoint whose flat-AdamW vector lengths differ (padding multiple
+    changed across versions) is length-adapted instead of discarded."""
     try:
         restored, meta = manager.load(mode, state_tree)
+        # orbax restores saved shapes verbatim even when the template
+        # disagrees, so always length-adapt (no-op when lengths match)
+        restored = adapt_flat_opt_vectors(restored, state_tree)
         return restored, int(meta.get("epoch", 0)), float(meta.get("best_acc", 0.0)), meta
     except Exception as e:  # noqa: BLE001 — parity: ref swallows and restarts
         print(f"resume failed ({e}); starting from epoch 0")

@@ -100,3 +100,42 @@ def test_remap_params_roundtrip_real_model():
     assert not report["unmatched_new"] and not report["unmatched_old"]
     for a, b in zip(jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(v)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_adapts_flat_opt_vector_lengths(tmp_path):
+    """A checkpoint written with UNPADDED flat-AdamW vectors (pre-ZeRO-1
+    layout, pad_to=1) must resume into the padded (pad_to=256) template with
+    the moments intact and zeros in the pad lanes — not silently restart
+    from epoch 0."""
+    from flax import linen as nn
+    from mm_unet_tpu.train.checkpoint import CheckpointManager, resume_train_state
+    from mm_unet_tpu.train.optim import flat_adamw, wd_mask
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(nn.Dense(5)(x))
+
+    m = Tiny()
+    params = m.init(jax.random.key(0), jnp.zeros((1, 7)))["params"]
+    n_raw = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert n_raw % 256 != 0
+
+    old_tx = flat_adamw(1e-3, mask_tree=wd_mask(params), pad_to=1)
+    old_opt = old_tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, old_opt = old_tx.update(g, old_opt, params)  # nonzero m/v
+    manager = CheckpointManager(str(tmp_path), "flat_adapt")
+    tree = {"params": params, "batch_stats": {}, "opt_state": old_opt}
+    manager.save_checkpoint(tree, {"epoch": 7, "best_acc": 0.5})
+
+    new_tx = flat_adamw(1e-3, mask_tree=wd_mask(params))  # pad_to=256 default
+    template = {"params": params, "batch_stats": {},
+                "opt_state": new_tx.init(params)}
+    restored, epoch, best, _ = resume_train_state(manager, template)
+    assert epoch == 7 and best == 0.5
+    m_vec = np.asarray(restored["opt_state"]["m"])
+    assert m_vec.shape[0] == -(-n_raw // 256) * 256
+    np.testing.assert_array_equal(m_vec[:n_raw], np.asarray(old_opt["m"]))
+    assert not m_vec[n_raw:].any()
+    assert int(restored["opt_state"]["count"]) == 1
