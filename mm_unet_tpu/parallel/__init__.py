@@ -8,6 +8,7 @@ from mm_unet_tpu.parallel.pp import (
     stack_layer_params,
     make_stage_fn,
 )
+from mm_unet_tpu.parallel.ep import SwitchFFN, shard_moe_params, ep_param_specs
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate",
@@ -16,4 +17,5 @@ __all__ = [
     "selective_scan_sp",
     "pipeline_apply", "stack_layer_params", "make_stage_fn",
     "mixer_pipeline_forward",
+    "SwitchFFN", "shard_moe_params", "ep_param_specs",
 ]
