@@ -168,6 +168,94 @@ def generate(
     return jnp.concatenate(out, axis=1)
 
 
+def generate_scan(
+    model: MambaLMHeadModel,
+    variables,
+    input_ids: Array,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Fully-jitted decode loop — the TPU-native equivalent of the
+    reference's CUDA-graph decode machinery (`mamba_ssm/utils/generation.py`
+    captures the per-token step in a CUDA graph to kill launch overhead; on
+    TPU the same effect is one compiled `lax.scan` over decode steps with
+    static cache shapes — zero per-token dispatch).
+
+    Token-for-token equal to `generate` (same prefill/step math and the same
+    top-k→top-p filter order); per-layer parameters and caches are stacked
+    along a leading layer axis and the block stack runs as an inner
+    `lax.scan`, so one compilation serves any n_layer."""
+    params = variables["params"]["backbone"]
+    n_layer = model.n_layer
+    d_inner = 2 * model.d_model
+    b, prompt_len = input_ids.shape
+    embed = params["embedding"]["embedding"]
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[params[f"layers_{i}"] for i in range(n_layer)],
+    )
+    conv0 = jnp.zeros((n_layer, b, d_inner, 4), jnp.float32)
+    ssm0 = jnp.zeros((n_layer, b, d_inner, model.d_state), jnp.float32)
+
+    def token_step(token, conv_states, ssm_states):
+        """One full-model step: (B,) int token -> (logits, new caches)."""
+        h = embed[token]
+
+        def layer(carry, xs):
+            h, residual = carry
+            lp, cs, ss = xs
+            residual = h + residual
+            hn = _layernorm(residual, lp["LayerNorm_0"])
+            h, cs, ss = mamba_step(lp["Mamba_0"], hn, cs, ss, model.d_state)
+            return (h, residual), (cs, ss)
+
+        (h, residual), (conv_states, ssm_states) = jax.lax.scan(
+            layer, (h, jnp.zeros_like(h)), (stacked, conv_states, ssm_states)
+        )
+        final = _layernorm(h + residual, params["norm_f"])
+        return final @ embed.T, conv_states, ssm_states
+
+    def prefill(carry, token):
+        conv_states, ssm_states = carry
+        logits, conv_states, ssm_states = token_step(token, conv_states, ssm_states)
+        return (conv_states, ssm_states), logits
+
+    (conv_states, ssm_states), logits_all = jax.lax.scan(
+        prefill, (conv0, ssm0), jnp.moveaxis(input_ids, 1, 0)
+    )
+    logits = logits_all[-1]
+
+    if rng is None:
+        rng = jax.random.key(0)
+    sample = top_k is not None or (top_p is not None and top_p < 1.0)
+
+    def decode(carry, _):
+        logits, conv_states, ssm_states, rng = carry
+        if sample:
+            rng, sub = jax.random.split(rng)
+            lg = logits / max(temperature, 1e-6)
+            if top_k is not None:
+                kth = jax.lax.top_k(lg, top_k)[0][:, -1:]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            if top_p is not None and top_p < 1.0:
+                lg = _top_p_filter(lg, top_p)
+            cur = jax.random.categorical(sub, lg)
+        else:
+            cur = jnp.argmax(logits, axis=-1)
+        logits, conv_states, ssm_states = token_step(cur, conv_states, ssm_states)
+        return (logits, conv_states, ssm_states, rng), cur
+
+    _, new_tokens = jax.lax.scan(
+        decode, (logits, conv_states, ssm_states, rng), None,
+        length=max_new_tokens,
+    )
+    return jnp.concatenate([input_ids, jnp.moveaxis(new_tokens, 0, 1)], axis=1)
+
+
 def _top_p_filter(logits: Array, top_p: float) -> Array:
     """Nucleus filtering (reference `modify_logits_for_top_p_filtering`,
     `mamba_ssm/utils/generation.py`): drop the ascending tail whose

@@ -74,3 +74,43 @@ def test_top_p_filter_semantics():
     # top_p = 1: keeps everything
     out = np.asarray(_top_p_filter(logits, 1.0))
     assert np.isfinite(out).all()
+
+
+def test_generate_scan_matches_python_loop():
+    """The fully-jitted lax.scan decode (the TPU stand-in for the reference's
+    CUDA-graph machinery) must be token-for-token equal to the Python-loop
+    `generate` — greedy and sampled (same rng, same filter order)."""
+    from mm_unet_tpu.models.lm import generate_scan
+
+    model = MambaLMHeadModel(d_model=16, n_layer=2, vocab_size=30, d_state=8)
+    ids = jax.random.randint(jax.random.key(0), (2, 4), 0, 30)
+    variables = jax.jit(model.init)(jax.random.key(1), ids)
+
+    a = generate(model, variables, ids, max_new_tokens=6)
+    b = generate_scan(model, variables, ids, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = jax.random.key(7)
+    a = generate(model, variables, ids, max_new_tokens=6, temperature=0.8,
+                 top_k=5, top_p=0.9, rng=rng)
+    b = generate_scan(model, variables, ids, max_new_tokens=6, temperature=0.8,
+                      top_k=5, top_p=0.9, rng=rng)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_scan_jits_whole_loop():
+    """generate_scan composes under one jit (static model/token counts):
+    the entire prefill+decode is a single compiled program."""
+    from functools import partial
+
+    from mm_unet_tpu.models.lm import generate_scan
+
+    model = MambaLMHeadModel(d_model=16, n_layer=1, vocab_size=30, d_state=8)
+    ids = jax.random.randint(jax.random.key(0), (1, 4), 0, 30)
+    variables = jax.jit(model.init)(jax.random.key(1), ids)
+    f = jax.jit(partial(generate_scan, model, max_new_tokens=5))
+    out = f(variables, ids)
+    assert out.shape == (1, 9)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(generate(model, variables, ids, 5))
+    )
