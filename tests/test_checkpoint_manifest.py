@@ -16,6 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mm_unet_tpu.train.checkpoint import param_manifest, remap_params
 
@@ -23,6 +24,7 @@ _MANIFEST = os.path.join(os.path.dirname(__file__), "fixtures",
                          "mmnet_param_manifest.json")
 
 
+@pytest.mark.slow
 def test_mmnet_param_manifest_stable():
     from mm_unet_tpu.models.mm_unet import MM_Net
 
@@ -77,6 +79,7 @@ def test_remap_params_handles_renumbering():
     assert report["unmatched_old"] == []
 
 
+@pytest.mark.slow
 def test_remap_params_roundtrip_real_model():
     """Renumber a real UNet tree (shift every DoubleConv index by one) and
     check remap recovers an exact restore."""

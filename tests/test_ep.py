@@ -71,6 +71,7 @@ def test_moe_ep_sharded_matches_replicated():
     assert "expert" in (w1.sharding.spec or ())
 
 
+@pytest.mark.slow
 def test_moe_ep_grads_match_replicated():
     assert len(jax.devices()) >= 8
     mesh = make_mesh(("expert",), devices=jax.devices()[:8])

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture compiles full MM_Net predictors (~85 s cold)
+
 from mm_unet_tpu.models.mm_unet import MM_Net
 from mm_unet_tpu.train.inferers import SlidingWindowInferer
 from mm_unet_tpu.train.trainer import create_train_state, make_predictor

@@ -71,6 +71,7 @@ def _assert_grads(args, got_shape, reverse, rtol=5e-3, atol=5e-3, seed=1):
     pytest.param(40, 200, 3, False, marks=pytest.mark.slow),
     pytest.param(40, 200, 2, True, marks=pytest.mark.slow),
 ])
+@pytest.mark.slow
 def test_mega_matches_unfused(D, L, G, reverse):
     args = _make(D, L, G)
     got = mamba_fused_scan(*args, reverse=reverse)

@@ -32,6 +32,7 @@ def _model_and_inputs(batch=4, seed=0, n_layer=N_LAYER):
     return model, variables, ids
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stages,microbatches", [(4, 2), (4, 1), (2, 4), (8, 4)])
 def test_pipeline_matches_sequential(stages, microbatches):
     assert len(jax.devices()) >= 8
@@ -45,6 +46,7 @@ def test_pipeline_matches_sequential(stages, microbatches):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match_sequential():
     """jax.grad through the stage loop (ppermute/psum transposes) must equal
     the sequential gradients for EVERY parameter, including the stage-sharded

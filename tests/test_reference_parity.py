@@ -177,6 +177,7 @@ def test_mini_model_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_convunext_vs_reference(ref):
     from mm_unet_tpu.models.convunext import ConvUNeXt
     from mm_unet_tpu.utils import torch_convert as tc
@@ -197,6 +198,7 @@ def test_convunext_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_cfpnet_vs_reference(ref):
     from mm_unet_tpu.models.cfpnet import CFPNet
     from mm_unet_tpu.utils import torch_convert as tc
@@ -216,6 +218,7 @@ def test_cfpnet_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_transunet_vs_reference(ref):
     from mm_unet_tpu.models.transunet import TransUNet
     from mm_unet_tpu.utils import torch_convert as tc
@@ -243,6 +246,7 @@ def test_transunet_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pvtv2_backbone_vs_reference(ref):
     """PVTv2 pyramid backbone (shared by FCBFormer/DuAT/PVT-CASCADE/CVC-UNETR/
     BMANet) vs the reference's `src/DuAT/pvtv2.py::PyramidVisionTransformerImpr`
@@ -385,6 +389,7 @@ def test_dsconv_tiny_feature_map_vs_reference(ref):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_um_rcg_vs_reference(ref):
     """UM_Net's RCG (DSConv fuse + default-Mamba detour + gate,
     `src/UM_Net/UM_Net.py:217-281`) vs the rebuilt module, including the

@@ -69,6 +69,7 @@ def test_tap_conv_matches_ref(B, H, W, C, F, k):
     (2, 16, 16, 8, 8, 3),
     pytest.param(1, 16, 16, 8, 8, 9, marks=pytest.mark.slow),
 ])
+@pytest.mark.slow
 def test_tap_conv_gradients(B, H, W, C, F, k):
     feat, yc, kernel, bias, shifts = _make(B, H, W, C, F, k, seed=3)
     w = jnp.asarray(

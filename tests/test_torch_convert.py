@@ -132,6 +132,7 @@ def _torch_pvt_forward(x_nchw, sd):
     return pyramid
 
 
+@pytest.mark.slow
 def test_pvtv2_convert_roundtrip():
     rng = np.random.default_rng(0)
     sd = _make_pvt_state_dict(rng)

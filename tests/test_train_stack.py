@@ -88,6 +88,7 @@ def test_sliding_window_exact_for_pointwise_model():
     np.testing.assert_allclose(np.asarray(stitched), np.asarray(direct), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sliding_window_jitted_predictor_path_matches_legacy():
     """trainer.Predictor takes the one-dispatch jitted pipeline; a UNet with
     batch_stats on a multi-window input must match the legacy callable path."""
@@ -203,6 +204,7 @@ def test_sliding_window_gaussian_exact_for_pointwise():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multiclass_training_step():
     """5-class (EDD-style) labels flow through loss/step/metrics."""
     from mm_unet_tpu.models.unet import UNet
