@@ -333,6 +333,7 @@ class SideoutBlock(nn.Module):
     num_slices: int = 4
     remat: bool = False
     dtype: str | None = None
+    drop: float = 0.1  # Dropout2d rate; 0 disables (trajectory-parity tests)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -341,7 +342,8 @@ class SideoutBlock(nn.Module):
                     dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(x)
+        x = nn.Dropout(self.drop, broadcast_dims=(1, 2),
+                       deterministic=not train or self.drop == 0.0)(x)
         return nn.Conv(self.out_channels, (1, 1), **kw)(x)
 
 
@@ -490,6 +492,7 @@ class MM_Net(nn.Module):
     # geometry and the output logits stay f32 (see `_lkw`). None -> full f32
     # (the reference's training precision; used by the parity tests).
     mamba_dtype: str | None = "bfloat16"
+    sideout_drop: float = 0.1  # SideoutBlock Dropout2d rate (ref MMUNet.py:345)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -534,7 +537,8 @@ class MM_Net(nn.Module):
 
         # decoder5 + side5 (MMUNet.py:549-550)
         d5 = DecoderBlock(64, 64, ns[3], remat=rm, dtype=dty)(e5d, train)
-        out5 = SideoutBlock(64, self.num_classes, ns[3], remat=rm, dtype=dty)(d5, train)
+        out5 = SideoutBlock(64, self.num_classes, ns[3], remat=rm, dtype=dty,
+                             drop=self.sideout_drop)(d5, train)
 
         # contour branch (MMUNet.py:508-511,553-556)
         c1 = nn.Conv(64, (3, 3), padding="SAME", **kw)(e1)
@@ -549,15 +553,18 @@ class MM_Net(nn.Module):
         # decoder cascade with RCG gating (MMUNet.py:559-574)
         r4 = RCG(num_slices=ns[2], remat=rm, dtype=dty)(out5, c1, e4d, train)
         d4 = DecoderBlock(128, 64, ns[2], remat=rm, dtype=dty)(jnp.concatenate([d5, r4], -1), train)
-        out4 = SideoutBlock(64, self.num_classes, ns[2], remat=rm, dtype=dty)(d4, train)
+        out4 = SideoutBlock(64, self.num_classes, ns[2], remat=rm, dtype=dty,
+                             drop=self.sideout_drop)(d4, train)
 
         r3 = RCG(num_slices=ns[1], remat=rm, dtype=dty)(out4, c1, e3d, train)
         d3 = DecoderBlock(128, 64, ns[1], remat=rm, dtype=dty)(jnp.concatenate([d4, r3], -1), train)
-        out3 = SideoutBlock(64, self.num_classes, ns[1], remat=rm, dtype=dty)(d3, train)
+        out3 = SideoutBlock(64, self.num_classes, ns[1], remat=rm, dtype=dty,
+                             drop=self.sideout_drop)(d3, train)
 
         r2 = RCG(num_slices=ns[0], remat=rm, dtype=dty)(out3, c1, e2, train)
         d2 = DecoderBlock(128, 64, ns[0], remat=rm, dtype=dty)(jnp.concatenate([d3, r2], -1), train)
-        out2 = SideoutBlock(64, self.num_classes, ns[0], remat=rm, dtype=dty)(d2, train)
+        out2 = SideoutBlock(64, self.num_classes, ns[0], remat=rm, dtype=dty,
+                             drop=self.sideout_drop)(d2, train)
 
         # sum of upsampled logits (MMUNet.py:577) — logits in f32 (the loss,
         # metrics, and sigmoid thresholds all consume f32 regardless of the

@@ -56,6 +56,7 @@ def create_train_state(model, config, rng, sample_input) -> TrainState:
         warmup_epochs=int(tcfg.warmup),
         max_epochs=int(tcfg.num_epochs),
         steps_per_epoch=steps_per_epoch,
+        warmup_start_lr=float(tcfg.get("warmup_start_lr", 0.0) or 0.0),
     )
     tx = build_optimizer(
         params,

@@ -394,6 +394,69 @@ def install():
     return ns
 
 
+def load_ref_trainer():
+    """Load the reference's top-level `train.py` (only `train_one_epoch` /
+    `val_one_epoch` are defined at module level; the entry body is
+    `__main__`-guarded at `/root/reference/train.py:158`). Its module-level
+    imports (monai, pytz, objprint, easydict, timm.optim, `src.models`'
+    MONAI-backed zoo) are stubbed just enough to import; none of the stubs
+    are exercised by `train_one_epoch` itself except the annotation types."""
+    install()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    class _Anything:
+        """Attribute sink for annotation-only uses (monai.metrics...)."""
+
+        def __getattr__(self, name):
+            return _Anything()
+
+        def __call__(self, *a, **k):
+            return _Anything()
+
+    class _EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            for k, v in {**(d or {}), **kw}.items():
+                self[k] = _EasyDict(v) if isinstance(v, dict) else v
+
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        __setattr__ = dict.__setitem__
+
+    def _module_getattr(name):
+        # never intercept dunders: inspect/torch walk sys.modules and read
+        # __file__/__path__ etc. — those must raise AttributeError
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _Anything()
+
+    monai = _stub_module("monai")
+    for sub in ("metrics", "transforms", "inferers", "losses", "utils"):
+        mod = _stub_module(f"monai.{sub}")
+        setattr(monai, sub, mod)
+        mod.__getattr__ = _module_getattr
+    sys.modules["monai.metrics"].CumulativeIterationMetric = object
+    sys.modules["monai.transforms"].Compose = object
+    sys.modules["monai.utils"].ensure_tuple_rep = (
+        lambda v, n: (v,) * n if not isinstance(v, (tuple, list)) else tuple(v)
+    )
+    _stub_module("pytz", timezone=lambda name: None)
+    _stub_module("objprint", objstr=lambda x: repr(x))
+    _stub_module("easydict", EasyDict=_EasyDict)
+    timm_optim = _stub_module("timm.optim", optim_factory=_stub_module(
+        "timm.optim.optim_factory"))
+    sys.modules["timm"].optim = timm_optim
+    # short-circuit the zoo factory import chain (UNETR/SwinUNETR need real
+    # MONAI); train_one_epoch never touches give_model
+    _stub_module("src.models", give_model=None)
+    return load_ref_model_file("train.py", name="_ref_train")
+
+
 def load_ref_model_file(relpath: str, name: str | None = None):
     """Load a reference model file by path after installing the stubs.
 
