@@ -118,7 +118,7 @@ class SwinBlock(nn.Module):
         x = shortcut + h
         m = nn.LayerNorm(epsilon=1e-5)(x)
         m = nn.Dense(int(c * self.mlp_ratio))(m)
-        m = nn.gelu(m)
+        m = nn.gelu(m, approximate=False)  # MONAI/torch nn.GELU() is exact erf
         m = nn.Dense(c)(m)
         return x + m
 
@@ -148,12 +148,12 @@ class ResConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         res = x
         h = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False)(x)
-        h = nn.InstanceNorm()(h)
+        h = nn.InstanceNorm(epsilon=1e-5)(h)
         h = nn.leaky_relu(h, 0.01)
         h = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False)(h)
-        h = nn.InstanceNorm()(h)
+        h = nn.InstanceNorm(epsilon=1e-5)(h)
         if res.shape[-1] != self.out:
-            res = nn.InstanceNorm()(nn.Conv(self.out, (1, 1), use_bias=False)(res))
+            res = nn.InstanceNorm(epsilon=1e-5)(nn.Conv(self.out, (1, 1), use_bias=False)(res))
         return nn.leaky_relu(h + res, 0.01)
 
 

@@ -24,12 +24,12 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(num_heads=self.heads)(h, h)
         x = x + h
-        m = nn.LayerNorm(epsilon=1e-6)(x)
+        m = nn.LayerNorm(epsilon=1e-5)(x)
         m = nn.Dense(self.mlp_dim)(m)
-        m = nn.gelu(m)
+        m = nn.gelu(m, approximate=False)  # MONAI/torch nn.GELU() is exact erf
         m = nn.Dense(self.hidden)(m)
         return x + m
 
@@ -41,12 +41,12 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         res = x
         h = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False)(x)
-        h = nn.InstanceNorm()(h)
+        h = nn.InstanceNorm(epsilon=1e-5)(h)
         h = nn.leaky_relu(h, 0.01)
         h = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False)(h)
-        h = nn.InstanceNorm()(h)
+        h = nn.InstanceNorm(epsilon=1e-5)(h)
         if res.shape[-1] != self.out:
-            res = nn.InstanceNorm()(nn.Conv(self.out, (1, 1), use_bias=False)(res))
+            res = nn.InstanceNorm(epsilon=1e-5)(nn.Conv(self.out, (1, 1), use_bias=False)(res))
         return nn.leaky_relu(h + res, 0.01)
 
 
@@ -115,7 +115,7 @@ class UNETR(nn.Module):
             h = TransformerBlock(self.hidden_size, self.num_heads, self.mlp_dim)(h, train)
             if i in (3, 6, 9, 12):
                 taps[i] = h.reshape(b, hp, wp, self.hidden_size)
-        taps[12] = nn.LayerNorm(epsilon=1e-6)(h).reshape(b, hp, wp, self.hidden_size)
+        taps[12] = nn.LayerNorm(epsilon=1e-5)(h).reshape(b, hp, wp, self.hidden_size)
 
         fs = self.feature_size
         enc1 = ConvBlock(fs)(x, train)

@@ -1411,3 +1411,130 @@ def warm_start_variables(variables, config):
             _set(v["batch_stats"], r2n_path, loaded["batch_stats"])
         return v
     return variables
+
+
+# ---------------------------------------------------------------------------
+# UNETR / SwinUNETR (2-D) <- the torch MONAI-restatement harness
+# (tests/test_monai_restatement_parity.py). The torch-side key names are the
+# restatement's own; MONAI's real checkpoints are not loadable in this
+# environment (MONAI absent), so these pairs close the cross-framework
+# evidence gap rather than a .pth round trip.
+# ---------------------------------------------------------------------------
+
+def instnorm_pairs(fpath, tkey):
+    """InstanceNorm (affine): params only, no running stats."""
+    return [((*fpath, "scale"), f"{tkey}.weight", "raw"),
+            ((*fpath, "bias"), f"{tkey}.bias", "raw")]
+
+
+def resblock_pairs(fpath, tkey, has_proj):
+    """MONAI UnetResBlock restatement: conv-IN-lrelu-conv-IN (+1x1-IN res)."""
+    p = conv_pairs((*fpath, "Conv_0"), f"{tkey}.conv1", bias=False)
+    p += instnorm_pairs((*fpath, "InstanceNorm_0"), f"{tkey}.norm1")
+    p += conv_pairs((*fpath, "Conv_1"), f"{tkey}.conv2", bias=False)
+    p += instnorm_pairs((*fpath, "InstanceNorm_1"), f"{tkey}.norm2")
+    if has_proj:
+        p += conv_pairs((*fpath, "Conv_2"), f"{tkey}.conv3", bias=False)
+        p += instnorm_pairs((*fpath, "InstanceNorm_2"), f"{tkey}.norm3")
+    return p
+
+
+def deconv_pairs(fpath, tkey):
+    return [((*fpath, "kernel"), f"{tkey}.weight", "convT"),
+            ((*fpath, "bias"), f"{tkey}.bias", "raw")]
+
+
+def mhdpa_pairs(fpath, tkey, embed: int, heads: int):
+    """flax nn.MultiHeadDotProductAttention <- fused torch qkv Linear +
+    out Linear. qkv.weight is (3*embed, embed) ordered [q; k; v]."""
+    hd = embed // heads
+
+    def _qkv_w(i):
+        def f(w):
+            w = np.asarray(w)[i * embed:(i + 1) * embed]  # (embed_out, embed_in)
+            return np.ascontiguousarray(w.T.reshape(embed, heads, hd))
+        return f
+
+    def _qkv_b(i):
+        def f(b):
+            return np.asarray(b)[i * embed:(i + 1) * embed].reshape(heads, hd)
+        return f
+
+    def _out_w(w):
+        return np.ascontiguousarray(np.asarray(w).T.reshape(heads, hd, embed))
+
+    p = []
+    for i, name in enumerate(("query", "key", "value")):
+        p.append(((*fpath, name, "kernel"), f"{tkey}.qkv.weight", _qkv_w(i)))
+        p.append(((*fpath, name, "bias"), f"{tkey}.qkv.bias", _qkv_b(i)))
+    p.append(((*fpath, "out", "kernel"), f"{tkey}.out.weight", _out_w))
+    p.append(((*fpath, "out", "bias"), f"{tkey}.out.bias", "raw"))
+    return p
+
+
+def unetr_pairs(embed: int = 768, heads: int = 12, num_layers: int = 12):
+    """mm_unet_tpu.models.unetr.UNETR <- tests TorchUNETR2D restatement."""
+    p = conv_pairs(("Conv_0",), "patch_embed")
+    p += [(("pos_embedding",), "pos_embed", "raw")]
+    for i in range(num_layers):
+        b, t = (f"TransformerBlock_{i}",), f"blocks.{i}"
+        p += norm_pairs((*b, "LayerNorm_0"), f"{t}.norm1")
+        p += mhdpa_pairs((*b, "MultiHeadDotProductAttention_0"), f"{t}", embed, heads)
+        p += norm_pairs((*b, "LayerNorm_1"), f"{t}.norm2")
+        p += dense_pairs((*b, "Dense_0"), f"{t}.fc1")
+        p += dense_pairs((*b, "Dense_1"), f"{t}.fc2")
+    p += norm_pairs(("LayerNorm_0",), "norm")
+    p += resblock_pairs(("ConvBlock_0",), "enc1", has_proj=True)
+    # PrUpBlocks: first deconv, then num_layer x (deconv + res block)
+    for pi, num_layer in enumerate((2, 1, 0)):
+        fp, t = (f"PrUpBlock_{pi}",), f"enc{pi + 2}"
+        p += deconv_pairs((*fp, "Deconv_0", "ConvTranspose_0"), f"{t}.up0")
+        for j in range(num_layer):
+            p += deconv_pairs((*fp, f"Deconv_{j + 1}", "ConvTranspose_0"),
+                              f"{t}.ups.{j}.deconv")
+            p += resblock_pairs((*fp, f"ConvBlock_{j}"), f"{t}.ups.{j}.block",
+                                has_proj=False)
+    for di in range(4):
+        fp, t = (f"UpBlock_{di}",), f"dec{3 - di}"
+        p += deconv_pairs((*fp, "Deconv_0", "ConvTranspose_0"), f"{t}.deconv")
+        p += resblock_pairs((*fp, "ConvBlock_0"), f"{t}.block", has_proj=True)
+    p += conv_pairs(("Conv_1",), "out")
+    return p
+
+
+def swin_unetr_pairs(feature_size: int = 24, depths=(2, 2, 2, 2),
+                     num_heads=(3, 6, 12, 24)):
+    """mm_unet_tpu.models.swin_unetr.SwinUNETR <- TorchSwinUNETR2D."""
+    p = conv_pairs(("Conv_0",), "patch_embed")
+    blk = 0
+    dim = feature_size
+    for si, (depth, heads) in enumerate(zip(depths, num_heads)):
+        for j in range(depth):
+            b, t = (f"SwinBlock_{blk}",), f"stages.{si}.blocks.{j}"
+            p += norm_pairs((*b, "LayerNorm_0"), f"{t}.norm1")
+            w = (*b, "WindowAttention_0")
+            p += dense_pairs((*w, "Dense_0"), f"{t}.attn.qkv")
+            p += [((*w, "rel_pos_bias"), f"{t}.attn.rel_pos_bias", "raw")]
+            p += dense_pairs((*w, "Dense_1"), f"{t}.attn.proj")
+            p += norm_pairs((*b, "LayerNorm_1"), f"{t}.norm2")
+            p += dense_pairs((*b, "Dense_0"), f"{t}.fc1")
+            p += dense_pairs((*b, "Dense_1"), f"{t}.fc2")
+            blk += 1
+        m, t = (f"PatchMerging_{si}",), f"stages.{si}"
+        p += norm_pairs((*m, "LayerNorm_0"), f"{t}.norm")
+        p += dense_pairs((*m, "Dense_0"), f"{t}.reduction", bias=False)
+        dim *= 2
+    # encoders/decoders: ResConvBlock_0..4 = enc0, enc1, enc2, enc3, dec4;
+    # ResConvBlock_5 = the hidden[3] skip block (argument of UpBlock_0)
+    # only enc0 changes channel count (3 -> fs): it alone has the 1x1 res proj
+    names = [("ResConvBlock_0", "enc0", True), ("ResConvBlock_1", "enc1", False),
+             ("ResConvBlock_2", "enc2", False), ("ResConvBlock_3", "enc3", False),
+             ("ResConvBlock_4", "dec4", False), ("ResConvBlock_5", "skip3", False)]
+    for fname, tname, proj in names:
+        p += resblock_pairs((fname,), tname, has_proj=proj)
+    for di in range(5):
+        fp, t = (f"UpBlock_{di}",), f"up{di}"
+        p += deconv_pairs((*fp, "ConvTranspose_0"), f"{t}.deconv")
+        p += resblock_pairs((*fp, "ResConvBlock_0"), f"{t}.block", has_proj=True)
+    p += conv_pairs(("Conv_1",), "out")
+    return p
