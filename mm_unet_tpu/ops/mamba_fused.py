@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mm_unet_tpu.ops.ssd_core import ssd_prefix, ssd_suffix
+
 Array = jax.Array
 
 _LOG2E = 1.4426950408889634
@@ -191,10 +193,29 @@ def _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N):
     return xdbl, dtr, Bv, Cv
 
 
+def _scan_dir(dt, A2, b, reverse: bool, ssd: bool, passes: int):
+    """Direction scan: SSD chunked-matmul core (ops/ssd_core.py, large-D
+    tiles) or the window-decay pair. reverse=True is the right-to-left scan
+    h_t = a_t h_{t+1} + b_t (ssd_suffix exclusive flavor)."""
+    if ssd:
+        return (ssd_suffix(dt, A2, b, exclusive=True, passes=passes)
+                if reverse else ssd_prefix(dt, A2, b, passes=passes))
+    return _wscan_rev(dt, A2, b) if reverse else _wscan_fwd(dt, A2, b)
+
+
+def _scan_adj(dt, A2, g, reverse: bool, ssd: bool, passes: int):
+    """Adjoint scan of `_scan_dir`: decay indexed at the neighbour token
+    (ssd prefix/suffix with the opposite flavor)."""
+    if ssd:
+        return (ssd_prefix(dt, A2, g, exclusive=True, passes=passes)
+                if reverse else ssd_suffix(dt, A2, g, passes=passes))
+    return _wscan_adj_of_rev(dt, A2, g) if reverse else _wscan_adj_of_fwd(dt, A2, g)
+
+
 def _mega_fwd_kernel(
     x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
     out_ref, st_ref, h_ref, *, reverse: bool, SB: int, N: int,
-    W: int, L: int, T: int,
+    W: int, L: int, T: int, ssd: bool = False,
 ):
     li = pl.program_id(2)
     nL = pl.num_programs(2)
@@ -226,7 +247,8 @@ def _mega_fwd_kernel(
         a_e = jnp.exp2(dti[:, edge : edge + 1][:, None, :] * A2i[:, :, None])
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
         b = b + jnp.where(col == edge, a_e * h_ref[sl], 0.0)
-        h = _wscan_rev(dti, A2i, b) if reverse else _wscan_fwd(dti, A2i, b)
+        passes = 1 if x_ref.dtype == jnp.bfloat16 else 2
+        h = _scan_dir(dti, A2i, b, reverse, ssd, passes)
         h_ref[sl] = h[:, :, :1] if reverse else h[:, :, -1:]
         y = jnp.sum(h * Cv[None], axis=1) + Dv[sl] * ui
         zi = z[sl]
@@ -238,7 +260,7 @@ def _mega_bwd_kernel(
     st_ref, dout_ref,
     dxz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
     g_ref, af_ref, dpre_ref, *, reverse: bool, SB: int, N: int,
-    W: int, L: int, T: int,
+    W: int, L: int, T: int, ssd: bool = False,
 ):
     li = pl.program_id(2)
     nL = pl.num_programs(2)
@@ -292,7 +314,8 @@ def _mega_bwd_kernel(
         a_e = jnp.exp2(dti[:, edge : edge + 1][:, None, :] * A2i[:, :, None])
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
         b_folded = b + jnp.where(col == edge, a_e * h_in[sl][:, :, None], 0.0)
-        h = _wscan_rev(dti, A2i, b_folded) if reverse else _wscan_fwd(dti, A2i, b_folded)
+        passes = 1 if x_ref.dtype == jnp.bfloat16 else 2
+        h = _scan_dir(dti, A2i, b_folded, reverse, ssd, passes)
 
         zi = z[sl]
         sz = jax.nn.sigmoid(zi)
@@ -305,11 +328,7 @@ def _mega_bwd_kernel(
         ginit = dy[:, None, :] * Cv[None] + jnp.where(
             col == gedge, af_ref[sl] * g_ref[sl], 0.0
         )
-        g = (
-            _wscan_adj_of_rev(dti, A2i, ginit)
-            if reverse
-            else _wscan_adj_of_fwd(dti, A2i, ginit)
-        )
+        g = _scan_adj(dti, A2i, ginit, reverse, ssd, passes)
         g_ref[sl] = g[:, :, -1:] if reverse else g[:, :, :1]
         af_ref[sl] = a_e
 
@@ -388,7 +407,8 @@ def _mega_bwd_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
-               W: int, L: int, reverse: bool, interpret: bool):
+               W: int, L: int, reverse: bool, interpret: bool,
+               ssd: bool = False):
     """core(xz (B,G,2,Dp,Lp) packed raw pre-conv + gate streams,
     cwb (G,Dp,8) conv taps+bias, xp (G,rBp+2N,Dp), dtw (G,Dp,rBp),
     dtb (G,Dp,1), A (G,Dp,N), Dv (G,Dp,1)) -> out (B,G,Dp,Lp) in the stream
@@ -397,9 +417,9 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
     materialises separate x/z copies, and the backward emits one packed dxz."""
 
     kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N,
-                           W=W, L=L, T=T)
+                           W=W, L=L, T=T, ssd=ssd)
     kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N,
-                           W=W, L=L, T=T)
+                           W=W, L=L, T=T, ssd=ssd)
 
     def _fwd_call(xz, cwb, xp, dtw, dtb, A, Dv):
         Bsz, G, _, _, Lp = xz.shape
@@ -628,6 +648,14 @@ def mamba_fused_scan(
     A_pad = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, pad_d), (0, 0)))
     D_pad = jnp.pad(D_skip.astype(jnp.float32), ((0, 0), (0, pad_d)))[..., None]
 
-    core = _mega_core(T, Dp, SBf, SBb, N, rBp, W, L, bool(reverse), bool(interpret))
+    # SSD chunked-matmul scan core for large-D tiles (RCG shapes); the
+    # small-D MMConv kernels stay on the window-decay core (grid-overhead
+    # bound; the SSD masks/matmuls would dominate their tiny tiles)
+    use_ssd = (
+        min(SBf, SBb) >= 32 and T % 128 == 0
+        and os.environ.get("MMU_SSD", "1") != "0"
+    )
+    core = _mega_core(T, Dp, SBf, SBb, N, rBp, W, L, bool(reverse),
+                      bool(interpret), use_ssd)
     out = core(xzp, cwb, xp_pad, dtw_pad, dtb_pad, A_pad, D_pad)
     return out[:, :, :D, :L]

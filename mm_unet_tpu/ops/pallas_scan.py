@@ -39,6 +39,7 @@ transposes/casts (their VJPs come for free from JAX autodiff).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -47,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mm_unet_tpu.ops.selective_scan import _finalize, _prep_delta
+from mm_unet_tpu.ops.ssd_core import ssd_prefix, ssd_suffix
 
 Array = jax.Array
 
@@ -113,220 +115,242 @@ def _window_scan_rev(dt: Array, A2: Array, g: Array) -> Array:
     return g
 
 
-def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_ref):
-    """One (batch b, dim-block s, chunk l) grid step of the forward scan.
-
-    h_ref: (D_blk, N, 1) f32 scratch carrying the running state across chunks.
-    """
-    li = pl.program_id(2)
-    nl = pl.num_programs(2)
-
-    @pl.when(li == 0)
-    def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
-
-    # Save the chunk-entry state for the backward pass (CUDA: x buffer).
-    st_ref[0] = h_ref[...]
-
-    u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
-    dt = dt_ref[0].astype(jnp.float32)  # (D_blk, T)
-    Bv = B_ref[0, 0].astype(jnp.float32)  # (N, T)
-    Cv = C_ref[0, 0].astype(jnp.float32)  # (N, T)
-    A2 = A_ref[...].astype(jnp.float32) * _LOG2E  # (D_blk, N)
-
-    b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
-
-    # fold the cross-chunk carry into b[0] (masked add fuses; a concat
-    # materialises a full copy): h_t = scan(a, b) with h_{-1}=0. Only the
-    # first token's decay a_0 is needed — a full-size a is never formed.
-    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # (D_blk, N, 1)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
-    b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
-    h = _window_scan_fwd(dt, A2, b)
-    y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
-    h_ref[...] = h[:, :, -1:]
-
-    @pl.when(li == nl - 1)
-    def _():
-        last_ref[0] = h_ref[...]
+def _core_pair(ssd: bool):
+    """(prefix, suffix) scan cores: SSD chunked-matmul (large-D tiles,
+    MXU; see ops/ssd_core.py) or the window-decay Hillis-Steele pair."""
+    if ssd:
+        return (lambda dt, A2, b: ssd_prefix(dt, A2, b),
+                lambda dt, A2, g: ssd_suffix(dt, A2, g))
+    return _window_scan_fwd, _window_scan_rev
 
 
-def _bwd_kernel(
-    u_ref, dt_ref, A_ref, B_ref, C_ref, st_ref, dy_ref,
-    du_ref, ddt_ref, dA_ref, dB_ref, dC_ref,
-    g_ref, af_ref,
-):
-    """One (b, s, reversed chunk) grid step of the backward scan.
+def _make_fwd_kernel(scan_fwd):
+  def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, st_ref, last_ref, h_ref):
+      """One (batch b, dim-block s, chunk l) grid step of the forward scan.
 
-    g_ref: (D_blk, N, 1) adjoint-state carry dL/dh at the later chunk's first
-    timestep; af_ref: (D_blk, N, 1) the decay a at that timestep.
-    """
-    li = pl.program_id(2)  # 0 = last chunk (specs map to reversed order)
-    nl = pl.num_programs(2)
+      h_ref: (D_blk, N, 1) f32 scratch carrying the running state across chunks.
+      """
+      li = pl.program_id(2)
+      nl = pl.num_programs(2)
 
-    @pl.when(li == 0)
-    def _():
-        g_ref[...] = jnp.zeros_like(g_ref)
-        af_ref[...] = jnp.zeros_like(af_ref)
+      @pl.when(li == 0)
+      def _():
+          h_ref[...] = jnp.zeros_like(h_ref)
 
-    u = u_ref[0].astype(jnp.float32)
-    dt = dt_ref[0].astype(jnp.float32)
-    Bv = B_ref[0, 0].astype(jnp.float32)
-    Cv = C_ref[0, 0].astype(jnp.float32)
-    A = A_ref[...].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
-    h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
+      # Save the chunk-entry state for the backward pass (CUDA: x buffer).
+      st_ref[0] = h_ref[...]
 
-    A2 = A * _LOG2E
-    dtu = dt * u  # (D_blk, T)
-    b = dtu[:, None, :] * Bv[None, :, :]
+      u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
+      dt = dt_ref[0].astype(jnp.float32)  # (D_blk, T)
+      Bv = B_ref[0, 0].astype(jnp.float32)  # (N, T)
+      Cv = C_ref[0, 0].astype(jnp.float32)  # (N, T)
+      A2 = A_ref[...].astype(jnp.float32) * _LOG2E  # (D_blk, N)
 
-    # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
-    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # first-token decay
-    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
-    b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
-    h = _window_scan_fwd(dt, A2, b_folded)
+      b = (dt * u)[:, None, :] * Bv[None, :, :]  # (D_blk, N, T)
 
-    # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
-    # boundary is the previously processed (later) chunk's first decay
-    # (af_ref); the boundary term af * g_carry folds into ginit[T-1].
-    T = b.shape[2]
-    ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
-        col == T - 1, af_ref[...] * g_ref[...], 0.0
-    )
-    g = _window_scan_rev(dt, A2, ginit)
+      # fold the cross-chunk carry into b[0] (masked add fuses; a concat
+      # materialises a full copy): h_t = scan(a, b) with h_{-1}=0. Only the
+      # first token's decay a_0 is needed — a full-size a is never formed.
+      a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # (D_blk, N, 1)
+      col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
+      b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
+      h = scan_fwd(dt, A2, b)
+      y_ref[0] = jnp.sum(h * Cv[None, :, :], axis=1).astype(y_ref.dtype)
+      h_ref[...] = h[:, :, -1:]
 
-    # Update carries for the next (earlier) chunk.
-    g_ref[...] = g[:, :, :1]
-    af_ref[...] = a0
+      @pl.when(li == nl - 1)
+      def _():
+          last_ref[0] = h_ref[...]
 
-    gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
-    # a*h_prev == h - b with the PRE-fold b: at every interior position
-    # h_t = a_t h_{t-1} + b_t, and at the chunk entry h_0 - b_0 = a_0*h_in
-    # (the carry folded into b_folded[0]). Using b_folded here would zero the
-    # boundary term a_0*h_in and drop the cross-chunk ddt/dA gradient.
-    gah = g * (h - b)  # (D_blk, N, T)
-
-    du_ref[0] = (dt * gB).astype(du_ref.dtype)
-    ddt_ref[0] = (
-        jnp.sum(gah * A[:, :, None], axis=1) + u * gB
-    ).astype(ddt_ref.dtype)
-    dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
-    dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
-
-    @pl.when(li == 0)
-    def _():
-        dA_ref[0] = jnp.zeros_like(dA_ref[0])
-
-    dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
+  return _fwd_kernel
 
 
-def _fwd_kernel_fused(
-    u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref,
-    out_ref, st_ref, h_ref,
-):
-    """Fused forward: delta softplus prologue and D-skip + silu(z)-gate
-    epilogue run inside the kernel (profiling showed the XLA-side prep and
-    finalize elementwise fusions around each scan cost ~24 ms/step)."""
-    li = pl.program_id(2)
+def _make_bwd_kernel(scan_fwd, scan_rev):
+  def _bwd_kernel(
+      u_ref, dt_ref, A_ref, B_ref, C_ref, st_ref, dy_ref,
+      du_ref, ddt_ref, dA_ref, dB_ref, dC_ref,
+      g_ref, af_ref,
+  ):
+      """One (b, s, reversed chunk) grid step of the backward scan.
 
-    @pl.when(li == 0)
-    def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
+      g_ref: (D_blk, N, 1) adjoint-state carry dL/dh at the later chunk's first
+      timestep; af_ref: (D_blk, N, 1) the decay a at that timestep.
+      """
+      li = pl.program_id(2)  # 0 = last chunk (specs map to reversed order)
+      nl = pl.num_programs(2)
 
-    st_ref[0] = h_ref[...]
+      @pl.when(li == 0)
+      def _():
+          g_ref[...] = jnp.zeros_like(g_ref)
+          af_ref[...] = jnp.zeros_like(af_ref)
 
-    u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
-    raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]  # (D_blk, T)
-    dt = jax.nn.softplus(raw)
-    Bv = B_ref[0, 0].astype(jnp.float32)
-    Cv = C_ref[0, 0].astype(jnp.float32)
-    A2 = A_ref[...].astype(jnp.float32) * _LOG2E
+      u = u_ref[0].astype(jnp.float32)
+      dt = dt_ref[0].astype(jnp.float32)
+      Bv = B_ref[0, 0].astype(jnp.float32)
+      Cv = C_ref[0, 0].astype(jnp.float32)
+      A = A_ref[...].astype(jnp.float32)
+      dy = dy_ref[0].astype(jnp.float32)  # (D_blk, T)
+      h_in = st_ref[0]  # (D_blk, N, 1) chunk-entry state
 
-    b = (dt * u)[:, None, :] * Bv[None, :, :]
-    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
-    col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
-    b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
-    h = _window_scan_fwd(dt, A2, b)
-    y = jnp.sum(h * Cv[None, :, :], axis=1) + Dv_ref[...] * u
-    z = z_ref[0].astype(jnp.float32)
-    out_ref[0] = (y * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
-    h_ref[...] = h[:, :, -1:]
+      A2 = A * _LOG2E
+      dtu = dt * u  # (D_blk, T)
+      b = dtu[:, None, :] * Bv[None, :, :]
+
+      # Recompute intra-chunk states (checkpoint recompute, CUDA bwd does same).
+      a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])  # first-token decay
+      col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+      b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
+      h = scan_fwd(dt, A2, b_folded)
+
+      # Adjoint state: g_t = C_t dy_t + a_{t+1} g_{t+1}; a_{t+1} at the chunk
+      # boundary is the previously processed (later) chunk's first decay
+      # (af_ref); the boundary term af * g_carry folds into ginit[T-1].
+      T = b.shape[2]
+      ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
+          col == T - 1, af_ref[...] * g_ref[...], 0.0
+      )
+      g = scan_rev(dt, A2, ginit)
+
+      # Update carries for the next (earlier) chunk.
+      g_ref[...] = g[:, :, :1]
+      af_ref[...] = a0
+
+      gB = jnp.sum(g * Bv[None, :, :], axis=1)  # (D_blk, T)
+      # a*h_prev == h - b with the PRE-fold b: at every interior position
+      # h_t = a_t h_{t-1} + b_t, and at the chunk entry h_0 - b_0 = a_0*h_in
+      # (the carry folded into b_folded[0]). Using b_folded here would zero the
+      # boundary term a_0*h_in and drop the cross-chunk ddt/dA gradient.
+      gah = g * (h - b)  # (D_blk, N, T)
+
+      du_ref[0] = (dt * gB).astype(du_ref.dtype)
+      ddt_ref[0] = (
+          jnp.sum(gah * A[:, :, None], axis=1) + u * gB
+      ).astype(ddt_ref.dtype)
+      dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
+      dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
+
+      @pl.when(li == 0)
+      def _():
+          dA_ref[0] = jnp.zeros_like(dA_ref[0])
+
+      dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
+
+  return _bwd_kernel
 
 
-def _bwd_kernel_fused(
-    u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref, st_ref, dout_ref,
-    du_ref, ddtr_ref, dA_ref, dB_ref, dC_ref, dD_ref, dz_ref,
-    g_ref, af_ref,
-):
-    """Fused backward: recomputes the gated epilogue, emits dz and dD and
-    chains the softplus gradient into ddt_raw."""
-    li = pl.program_id(2)
+def _make_fwd_kernel_fused(scan_fwd):
+  def _fwd_kernel_fused(
+      u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref,
+      out_ref, st_ref, h_ref,
+  ):
+      """Fused forward: delta softplus prologue and D-skip + silu(z)-gate
+      epilogue run inside the kernel (profiling showed the XLA-side prep and
+      finalize elementwise fusions around each scan cost ~24 ms/step)."""
+      li = pl.program_id(2)
 
-    @pl.when(li == 0)
-    def _():
-        g_ref[...] = jnp.zeros_like(g_ref)
-        af_ref[...] = jnp.zeros_like(af_ref)
+      @pl.when(li == 0)
+      def _():
+          h_ref[...] = jnp.zeros_like(h_ref)
 
-    u = u_ref[0].astype(jnp.float32)
-    raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]
-    sig_raw = jax.nn.sigmoid(raw)
-    dt = jax.nn.softplus(raw)
-    Bv = B_ref[0, 0].astype(jnp.float32)
-    Cv = C_ref[0, 0].astype(jnp.float32)
-    A = A_ref[...].astype(jnp.float32)
-    Dv = Dv_ref[...]
-    dout = dout_ref[0].astype(jnp.float32)
-    h_in = st_ref[0]
+      st_ref[0] = h_ref[...]
 
-    A2 = A * _LOG2E
-    dtu = dt * u
-    b = dtu[:, None, :] * Bv[None, :, :]
-    a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
-    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
-    b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
-    h = _window_scan_fwd(dt, A2, b_folded)
+      u = u_ref[0].astype(jnp.float32)  # (D_blk, T)
+      raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]  # (D_blk, T)
+      dt = jax.nn.softplus(raw)
+      Bv = B_ref[0, 0].astype(jnp.float32)
+      Cv = C_ref[0, 0].astype(jnp.float32)
+      A2 = A_ref[...].astype(jnp.float32) * _LOG2E
 
-    # gate epilogue gradients
-    z = z_ref[0].astype(jnp.float32)
-    sz = jax.nn.sigmoid(z)
-    silu = z * sz
-    y_pre = jnp.sum(h * Cv[None, :, :], axis=1) + Dv * u
-    dy = dout * silu
-    dz_ref[0] = (dout * y_pre * (sz + silu * (1.0 - sz))).astype(dz_ref.dtype)
+      b = (dt * u)[:, None, :] * Bv[None, :, :]
+      a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
+      col0 = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) == 0
+      b = b + jnp.where(col0, a0 * h_ref[...], 0.0)
+      h = scan_fwd(dt, A2, b)
+      y = jnp.sum(h * Cv[None, :, :], axis=1) + Dv_ref[...] * u
+      z = z_ref[0].astype(jnp.float32)
+      out_ref[0] = (y * (z * jax.nn.sigmoid(z))).astype(out_ref.dtype)
+      h_ref[...] = h[:, :, -1:]
 
-    T = b.shape[2]
-    ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
-        col == T - 1, af_ref[...] * g_ref[...], 0.0
-    )
-    g = _window_scan_rev(dt, A2, ginit)
+  return _fwd_kernel_fused
 
-    g_ref[...] = g[:, :, :1]
-    af_ref[...] = a0
 
-    gB = jnp.sum(g * Bv[None, :, :], axis=1)
-    # g*a*h_prev via the PRE-fold b: h - b == a*h_prev at every position
-    # including the chunk entry (h_0 - b_0 = a_0*h_in); b_folded would drop
-    # the cross-chunk boundary term from ddt/dA.
-    gah = g * (h - b)
+def _make_bwd_kernel_fused(scan_fwd, scan_rev):
+  def _bwd_kernel_fused(
+      u_ref, dtr_ref, A_ref, B_ref, C_ref, bias_ref, Dv_ref, z_ref, st_ref, dout_ref,
+      du_ref, ddtr_ref, dA_ref, dB_ref, dC_ref, dD_ref, dz_ref,
+      g_ref, af_ref,
+  ):
+      """Fused backward: recomputes the gated epilogue, emits dz and dD and
+      chains the softplus gradient into ddt_raw."""
+      li = pl.program_id(2)
 
-    du_ref[0] = (dt * gB + dy * Dv).astype(du_ref.dtype)
-    ddt_eff = jnp.sum(gah * A[:, :, None], axis=1) + u * gB
-    ddtr_ref[0] = (ddt_eff * sig_raw).astype(ddtr_ref.dtype)
-    dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
-    dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
+      @pl.when(li == 0)
+      def _():
+          g_ref[...] = jnp.zeros_like(g_ref)
+          af_ref[...] = jnp.zeros_like(af_ref)
 
-    @pl.when(li == 0)
-    def _():
-        dA_ref[0] = jnp.zeros_like(dA_ref[0])
-        dD_ref[0] = jnp.zeros_like(dD_ref[0])
+      u = u_ref[0].astype(jnp.float32)
+      raw = dtr_ref[0].astype(jnp.float32) + bias_ref[...]
+      sig_raw = jax.nn.sigmoid(raw)
+      dt = jax.nn.softplus(raw)
+      Bv = B_ref[0, 0].astype(jnp.float32)
+      Cv = C_ref[0, 0].astype(jnp.float32)
+      A = A_ref[...].astype(jnp.float32)
+      Dv = Dv_ref[...]
+      dout = dout_ref[0].astype(jnp.float32)
+      h_in = st_ref[0]
 
-    dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
-    dD_ref[0] += jnp.sum(dy * u, axis=1, keepdims=True)
+      A2 = A * _LOG2E
+      dtu = dt * u
+      b = dtu[:, None, :] * Bv[None, :, :]
+      a0 = jnp.exp2(dt[:, :1][:, None, :] * A2[:, :, None])
+      col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
+      b_folded = b + jnp.where(col == 0, a0 * h_in, 0.0)
+      h = scan_fwd(dt, A2, b_folded)
+
+      # gate epilogue gradients
+      z = z_ref[0].astype(jnp.float32)
+      sz = jax.nn.sigmoid(z)
+      silu = z * sz
+      y_pre = jnp.sum(h * Cv[None, :, :], axis=1) + Dv * u
+      dy = dout * silu
+      dz_ref[0] = (dout * y_pre * (sz + silu * (1.0 - sz))).astype(dz_ref.dtype)
+
+      T = b.shape[2]
+      ginit = dy[:, None, :] * Cv[None, :, :] + jnp.where(
+          col == T - 1, af_ref[...] * g_ref[...], 0.0
+      )
+      g = scan_rev(dt, A2, ginit)
+
+      g_ref[...] = g[:, :, :1]
+      af_ref[...] = a0
+
+      gB = jnp.sum(g * Bv[None, :, :], axis=1)
+      # g*a*h_prev via the PRE-fold b: h - b == a*h_prev at every position
+      # including the chunk entry (h_0 - b_0 = a_0*h_in); b_folded would drop
+      # the cross-chunk boundary term from ddt/dA.
+      gah = g * (h - b)
+
+      du_ref[0] = (dt * gB + dy * Dv).astype(du_ref.dtype)
+      ddt_eff = jnp.sum(gah * A[:, :, None], axis=1) + u * gB
+      ddtr_ref[0] = (ddt_eff * sig_raw).astype(ddtr_ref.dtype)
+      dB_ref[0, 0] = jnp.sum(g * dtu[:, None, :], axis=0).astype(dB_ref.dtype)
+      dC_ref[0, 0] = jnp.sum(h * dy[:, None, :], axis=0).astype(dC_ref.dtype)
+
+      @pl.when(li == 0)
+      def _():
+          dA_ref[0] = jnp.zeros_like(dA_ref[0])
+          dD_ref[0] = jnp.zeros_like(dD_ref[0])
+
+      dA_ref[0] += jnp.sum(gah * dt[:, None, :], axis=2, keepdims=True)
+      dD_ref[0] += jnp.sum(dy * u, axis=1, keepdims=True)
+
+  return _bwd_kernel_fused
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool):
+def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool,
+                     ssd: bool = False):
     """Custom-VJP core for the fully-fused Mamba configuration (variable
     grouped B/C, delta bias + softplus, D-skip, silu(z) gate):
 
@@ -340,7 +364,7 @@ def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool):
         sg = nS // G
         grid = (Bsz, nS, nL)
         out, states = pl.pallas_call(
-            _fwd_kernel_fused,
+            _make_fwd_kernel_fused(_core_pair(ssd)[0]),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
@@ -373,7 +397,7 @@ def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool):
         grid = (Bsz, nS, nL)
         rev = lambda l: nL - 1 - l  # noqa: E731
         du, ddtr, dA, dB, dC, dD, dz = pl.pallas_call(
-            _bwd_kernel_fused,
+            _make_bwd_kernel_fused(*_core_pair(ssd)),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
@@ -442,7 +466,7 @@ def _scan_core_fused(T: int, D_blk: int, G: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_core(T: int, D_blk: int, G: int, interpret: bool):
+def _scan_core(T: int, D_blk: int, G: int, interpret: bool, ssd: bool = False):
     """Build the custom-VJP core scan for a given (chunk, dim-block) config.
 
     core(u (B,Dp,Lp), dt (B,Dp,Lp) f32, A (Dp,N), Bv (B,G,N,Lp), Cv (B,G,N,Lp))
@@ -460,7 +484,7 @@ def _scan_core(T: int, D_blk: int, G: int, interpret: bool):
         sg = nS // G  # dim-blocks per group
         grid = (Bsz, nS, nL)
         y, states, last = pl.pallas_call(
-            _fwd_kernel,
+            _make_fwd_kernel(_core_pair(ssd)[0]),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, l)),
@@ -492,7 +516,7 @@ def _scan_core(T: int, D_blk: int, G: int, interpret: bool):
         grid = (Bsz, nS, nL)
         rev = lambda l: nL - 1 - l  # noqa: E731
         du, ddt, dA, dB, dC = pl.pallas_call(
-            _bwd_kernel,
+            _make_bwd_kernel(*_core_pair(ssd)),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, D_blk, T), lambda b, s, l: (b, s, rev(l))),
@@ -594,6 +618,16 @@ def selective_scan_pallas(
 
     D_blk = min(32, _round_up(dg, 8))
     T = max(128, _round_up(chunk, 128))  # lane-dim blocks must be 128-aligned
+    # SSD chunked-matmul core for large-D tiles (RCG shapes): ~10 VPU
+    # ops/element vs the window scan's ~36, matmuls on the MXU. Small-D
+    # (MMConv) tiles keep the window-decay core (grid-overhead-bound and
+    # the SSD masks would dominate the tiny tiles). MMU_SSD=0 disables.
+    use_ssd = (
+        D_blk >= 32
+        and os.environ.get("MMU_SSD", "1") != "0"
+    )
+    if use_ssd and T % 128 != 0:
+        T = _round_up(T, 128)
     if D_blk <= 8:
         # small-channel scans (MMConv: d_inner ~= 6 per direction) are
         # grid-overhead-bound — use longer chunks so each grid step does
@@ -632,7 +666,7 @@ def selective_scan_pallas(
             A_p, B_p, C_p = A.astype(jnp.float32), B, C
         bias_p = pad_vec(delta_bias)
         Dv_p = pad_vec(D)
-        core = _scan_core_fused(T, D_blk, G, bool(interpret))
+        core = _scan_core_fused(T, D_blk, G, bool(interpret), use_ssd)
         out = core(u_p, dtr_p, A_p, B_p, C_p, bias_p, Dv_p, z_p)
         if pad_d:
             out = out.reshape(batch, G, dgp, Lp)[:, :, :dg, :L].reshape(batch, dim, L)
@@ -651,7 +685,7 @@ def selective_scan_pallas(
     else:
         u_p, dt_p, A_p, B_p, C_p = u, dt_eff, A.astype(jnp.float32), B, C
 
-    core = _scan_core(T, D_blk, G, bool(interpret))
+    core = _scan_core(T, D_blk, G, bool(interpret), use_ssd)
     y, last = core(u_p, dt_p, A_p, B_p, C_p)
     if pad_d:
         y = y.reshape(batch, G, dgp, Lp)[:, :, :dg, :L].reshape(batch, dim, L)
