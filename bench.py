@@ -4,10 +4,21 @@ DRIVE-shaped 512x512, single chip.
 Prints ONE JSON line with the primary metric IMMEDIATELY after the train +
 inference measurements (round-3 lesson: BENCH_r03 timed out with zero output
 because everything printed only at the very end). The expensive extras —
-profiler trace breakdown, jit cost-analysis MFU, bf16 inference, the 704^2
-STARE-protocol leg — run only under MMU_BENCH_FULL=1 and print a SECOND,
-superset JSON line afterwards, so a mid-extras timeout still leaves the
-primary line parseable in the stdout tail.
+profiler trace breakdown, bf16 inference, the 704^2 STARE-protocol leg — run
+only under MMU_BENCH_FULL=1 and print a SECOND, superset JSON line
+afterwards, so a mid-extras timeout still leaves the primary line parseable
+in the stdout tail.
+
+The train step is AOT-compiled once (`train_step.lower(...).compile()`), so
+`cost_analysis()` — and therefore `train_mfu` in the PRIMARY line — is free:
+no second trace/lower/compile anywhere (round-4 lesson: the MFU leg used to
+re-lower the step and was dropped from the primary JSON). MXU-MFU is the
+wrong denominator for a VPU-bound Mamba-1 scan — the honest roofline is the
+per-category step breakdown in the FULL extras — but the number is reported
+for cross-framework comparability.
+
+Extras failures are CAPTURED as error strings in the JSON (no silent
+except-pass; round-4 lesson: the 704² leg produced nothing and swallowed why).
 
 `vs_baseline` is value / REFERENCE_A100_IMG_PER_SEC. The reference repo
 publishes no numbers (BASELINE.md: "published: {}"), so the denominator is an
@@ -24,6 +35,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +62,12 @@ def _emit(payload: dict) -> None:
     print(json.dumps(payload), flush=True)
 
 
+def _err_str(limit: int = 600) -> str:
+    """Last line of the active exception, truncated — lands IN the JSON."""
+    lines = traceback.format_exc().strip().splitlines()
+    return (lines[-1] if lines else "unknown")[:limit]
+
+
 _T0 = time.perf_counter()
 
 
@@ -57,6 +75,16 @@ def _mark(msg: str) -> None:
     # stage marks on stderr: diagnose where time goes if the driver's
     # timeout kills the run (round-3 failure mode)
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _flops_of(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
 
 
 def main() -> int:
@@ -88,18 +116,25 @@ def main() -> int:
     state = create_train_state(model, config, rng, x)
     loss_fn = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
 
-    _mark("state created; warmup (train_step compile)")
+    _mark("state created; AOT compile of train_step (single compile)")
+    # ONE compile for warmup, measurement, MFU and the trace extras: AOT via
+    # .lower().compile() so cost_analysis() reads the same executable.
+    compiled_step = train_step.lower(state, x, y, rng, loss_fn).compile()
+    train_flops = _flops_of(compiled_step)
+
+    _mark("compiled; warmup")
     for _ in range(WARMUP_STEPS):
-        state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+        state, scalars, _ = compiled_step(state, x, y, rng)
         _ = float(scalars["total_loss"])  # force full sync
 
     _mark("warmup done; measuring train")
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
-        state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+        state, scalars, _ = compiled_step(state, x, y, rng)
     _ = float(scalars["total_loss"])  # sync once at the end (steps chain on device)
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
     img_per_sec = BATCH / dt
+    mfu = train_flops / dt / V5E_PEAK_FLOPS if train_flops == train_flops else None
 
     # sliding-window inference throughput through the real jitted pipeline
     inferer = SlidingWindowInferer(roi_size=(SIZE, SIZE), overlap=0.5)
@@ -124,6 +159,8 @@ def main() -> int:
         "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
         "baseline_estimated": True,  # see module docstring: no published ref number
         "infer_images_per_sec": round(infer_per_sec, 3),
+        "train_mfu": round(mfu, 4) if mfu is not None else None,
+        "train_flops_per_step": train_flops if train_flops == train_flops else None,
         "bench_wall_sec": round(time.perf_counter() - t_start, 1),
     }
     # PRIMARY line — printed before anything else expensive (another compile,
@@ -136,14 +173,13 @@ def main() -> int:
     # primary emit
     _mark("primary emitted; infer bf16")
     try:
-        infer_bf16_per_sec = time_infer(make_predictor(state, dtype=jnp.bfloat16))
+        infer_bf16_per_sec = round(time_infer(make_predictor(state, dtype=jnp.bfloat16)), 3)
     except Exception:
         infer_bf16_per_sec = None
+        payload["infer_bf16_error"] = _err_str()
     payload.update(
         {
-            "infer_bf16_images_per_sec": (
-                round(infer_bf16_per_sec, 3) if infer_bf16_per_sec else None
-            ),
+            "infer_bf16_images_per_sec": infer_bf16_per_sec,
             "bench_wall_sec": round(time.perf_counter() - t_start, 1),
         }
     )
@@ -154,15 +190,17 @@ def main() -> int:
     # ---- extras (MMU_BENCH_FULL=1 only) ----------------------------------
     # Step-category breakdown from a profiler trace (VERDICT r2 item 5: make
     # "near the hardware limit" checkable). 2 traced steps -> per-step ms by
-    # HLO category via benchmarks.parse_trace.categorize.
+    # HLO category via benchmarks.parse_trace.categorize. The honest roofline
+    # companion to train_mfu above.
     breakdown = scan_ms = None
+    _mark("FULL extras: profiler trace")
     try:
         import jax.profiler as _prof
 
         tracedir = "/tmp/mmu_bench_trace"
         with _prof.trace(tracedir):
             for _ in range(2):
-                state, scalars, _ = train_step(state, x, y, rng, loss_fn)
+                state, scalars, _ = compiled_step(state, x, y, rng)
             _ = float(scalars["total_loss"])
         # parse in a subprocess: the pure-python protobuf env var must be set
         # before protobuf's first import, which jax has already done here
@@ -182,24 +220,15 @@ def main() -> int:
         breakdown = {k: round(100 * v / tot, 1) for k, v in kinds.items()}
         scan_ms = round(kinds.get("pallas_scan", 0.0) / 2, 1)  # per step
     except Exception:
-        pass
-
-    # train-step FLOPs from the compiled cost analysis -> MFU
-    try:
-        loss_struct = make_loss_fn({"dice_focal_loss": {}}, {"dice_focal_loss": 1.0})
-        lowered = jax.jit(
-            train_step, static_argnames=("loss_fn", "has_batch_stats")
-        ).lower(state, x, y, rng, loss_struct)
-        cost = lowered.compile().cost_analysis()
-        flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
-    except Exception:
-        flops = float("nan")
-    mfu = flops / dt / V5E_PEAK_FLOPS if flops == flops else float("nan")
+        payload["trace_error"] = _err_str()
 
     # STARE-protocol leg: 704² train + real multi-window sliding inference
     # (reference anchors 704² at config.yml:30-36; this repo fixed the 704
-    # feasibility bug the reference has — see MIGRATION.md).
+    # feasibility bug the reference has — see MIGRATION.md). The 704 infer
+    # uses the SAME f32 predictor precision as the primary infer metric so
+    # the two numbers in one JSON line are precision-comparable.
     train704 = infer704 = None
+    _mark("FULL extras: 704² STARE leg")
     try:
         b704 = 4
         model704 = MM_Net(num_classes=1, remat=True)
@@ -217,14 +246,12 @@ def main() -> int:
         _ = float(sc7["total_loss"])
         train704 = b704 * 4 / (time.perf_counter() - t0)
         # multi-window inference: 704² image, 512² ROI, overlap 0.5 -> real grid
-        infer704 = time_infer(make_predictor(state704, dtype=jnp.bfloat16), batch=x7)
+        infer704 = time_infer(make_predictor(state704), batch=x7)
     except Exception:
-        pass
+        payload["704_error"] = _err_str()
 
     payload.update(
         {
-            "train_mfu": round(mfu, 4) if mfu == mfu else None,
-            "train_flops_per_step": flops if flops == flops else None,
             # Honest roofline (MXU-MFU is the wrong denominator for a
             # VPU-bound Mamba-1 scan): live per-step device-time shares by
             # HLO category and the scan ms/step.

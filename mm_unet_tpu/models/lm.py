@@ -105,11 +105,20 @@ def generate(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     rng: Optional[Array] = None,
+    teacher_outputs: Optional[Array] = None,
+    eos_token_id: Optional[int] = None,
 ) -> Array:
     """Greedy / top-k / top-p sampling decode loop (`utils/generation.py:207`
     analogue; filter order top-k then top-p as in the reference `sample`):
     prefill with the full forward, then per-token functional steps with
-    rolling conv/SSM caches, all under jit-able ops."""
+    rolling conv/SSM caches, all under jit-able ops.
+
+    `teacher_outputs` (B, >=prompt+steps): instead of sampling, the token at
+    absolute position p is taken from `teacher_outputs[:, p]` while p is in
+    range (reference `generation.py:163-168` — useful for testing).
+    `eos_token_id`: stop once EVERY sequence's current token is eos
+    (reference `should_stop`, `generation.py:172-175`); the eos tokens are
+    included in the output, matching the reference."""
     params = variables["params"]["backbone"]
     n_layer = model.n_layer
     d_model = model.d_model
@@ -140,8 +149,12 @@ def generate(
         rng = jax.random.key(0)
     out = [tokens]
     cur = None
-    for _ in range(max_new_tokens):
-        if top_k is not None or (top_p is not None and top_p < 1.0):
+    prompt_len = input_ids.shape[1]
+    for step in range(max_new_tokens):
+        pos = prompt_len + step  # == the reference's seqlen_offset at sample
+        if teacher_outputs is not None and pos < teacher_outputs.shape[1]:
+            cur = teacher_outputs[:, pos]
+        elif top_k is not None or (top_p is not None and top_p < 1.0):
             rng, sub = jax.random.split(rng)
             lg = logits / max(temperature, 1e-6)
             if top_k is not None:
@@ -153,6 +166,8 @@ def generate(
         else:
             cur = jnp.argmax(logits, axis=-1)
         out.append(cur[:, None])
+        if eos_token_id is not None and bool(jnp.all(cur == eos_token_id)):
+            break  # reference should_stop: every sequence hit eos
         h = embed[cur]
         residual = None
         for i in range(n_layer):
@@ -177,6 +192,8 @@ def generate_scan(
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
     rng: Optional[Array] = None,
+    teacher_outputs: Optional[Array] = None,
+    eos_token_id: Optional[int] = None,
 ) -> Array:
     """Fully-jitted decode loop — the TPU-native equivalent of the
     reference's CUDA-graph decode machinery (`mamba_ssm/utils/generation.py`
@@ -187,7 +204,13 @@ def generate_scan(
     Token-for-token equal to `generate` (same prefill/step math and the same
     top-k→top-p filter order); per-layer parameters and caches are stacked
     along a leading layer axis and the block stack runs as an inner
-    `lax.scan`, so one compilation serves any n_layer."""
+    `lax.scan`, so one compilation serves any n_layer.
+
+    `teacher_outputs`/`eos_token_id` follow `generate` (and the reference
+    `generation.py:163-175`), with one fixed-shape delta: the compiled scan
+    always runs `max_new_tokens` steps, so after the all-sequences-eos stop
+    point the remaining output positions are PADDED with `eos_token_id`
+    (the reference's variable-length output simply ends there)."""
     params = variables["params"]["backbone"]
     n_layer = model.n_layer
     d_inner = 2 * model.d_model
@@ -233,8 +256,29 @@ def generate_scan(
         rng = jax.random.key(0)
     sample = top_k is not None or (top_p is not None and top_p < 1.0)
 
-    def decode(carry, _):
-        logits, conv_states, ssm_states, rng = carry
+    # teacher-forcing plan, resolved statically per decode step: position
+    # p = prompt_len + step indexes teacher_outputs (reference seqlen_offset)
+    if teacher_outputs is not None:
+        tlen = teacher_outputs.shape[1]
+        forced = [
+            teacher_outputs[:, prompt_len + s]
+            if prompt_len + s < tlen else None
+            for s in range(max_new_tokens)
+        ]
+        use_teacher = jnp.asarray(
+            [f is not None for f in forced], jnp.bool_
+        )
+        pad_col = jnp.zeros((b,), input_ids.dtype)
+        teacher_seq = jnp.stack(
+            [f if f is not None else pad_col for f in forced]
+        )  # (steps, B)
+    else:
+        use_teacher = jnp.zeros((max_new_tokens,), jnp.bool_)
+        teacher_seq = jnp.zeros((max_new_tokens, b), input_ids.dtype)
+
+    def decode(carry, xs):
+        logits, conv_states, ssm_states, rng, stopped = carry
+        use_t, teach = xs
         if sample:
             rng, sub = jax.random.split(rng)
             lg = logits / max(temperature, 1e-6)
@@ -246,11 +290,17 @@ def generate_scan(
             cur = jax.random.categorical(sub, lg)
         else:
             cur = jnp.argmax(logits, axis=-1)
+        cur = jnp.where(use_t, teach.astype(cur.dtype), cur)
+        if eos_token_id is not None:
+            cur = jnp.where(stopped, jnp.asarray(eos_token_id, cur.dtype), cur)
+            stopped = jnp.logical_or(stopped, jnp.all(cur == eos_token_id))
         logits, conv_states, ssm_states = token_step(cur, conv_states, ssm_states)
-        return (logits, conv_states, ssm_states, rng), cur
+        return (logits, conv_states, ssm_states, rng, stopped), cur
 
-    _, new_tokens = jax.lax.scan(
-        decode, (logits, conv_states, ssm_states, rng), None,
+    (*_, _), new_tokens = jax.lax.scan(
+        decode,
+        (logits, conv_states, ssm_states, rng, jnp.asarray(False)),
+        (use_teacher, teacher_seq),
         length=max_new_tokens,
     )
     return jnp.concatenate([input_ids, jnp.moveaxis(new_tokens, 0, 1)], axis=1)

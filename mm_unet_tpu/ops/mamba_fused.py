@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mm_unet_tpu.ops.ssd_core import ssd_prefix, ssd_suffix
+from mm_unet_tpu.ops.ssd_core import (MASK_NAMES, make_masks, ssd_pair,
+                                      ssd_prefix, ssd_suffix)
 
 Array = jax.Array
 
@@ -193,30 +194,48 @@ def _proj_tiles(u_b, xp_ref, dtw_ref, dtb_ref, N):
     return xdbl, dtr, Bv, Cv
 
 
-def _scan_dir(dt, A2, b, reverse: bool, ssd: bool, passes: int):
+def _scan_dir(dt, A2, b, reverse: bool, ssd: bool, passes: int, masks=None):
     """Direction scan: SSD chunked-matmul core (ops/ssd_core.py, large-D
     tiles) or the window-decay pair. reverse=True is the right-to-left scan
-    h_t = a_t h_{t+1} + b_t (ssd_suffix exclusive flavor)."""
+    h_t = a_t h_{t+1} + b_t (ssd_suffix exclusive flavor). `masks` are the
+    hoisted `make_masks(T, exclusive=reverse)` kernel operands."""
     if ssd:
-        return (ssd_suffix(dt, A2, b, exclusive=True, passes=passes)
-                if reverse else ssd_prefix(dt, A2, b, passes=passes))
+        return (ssd_suffix(dt, A2, b, exclusive=True, passes=passes, masks=masks)
+                if reverse else ssd_prefix(dt, A2, b, passes=passes, masks=masks))
     return _wscan_rev(dt, A2, b) if reverse else _wscan_fwd(dt, A2, b)
 
 
-def _scan_adj(dt, A2, g, reverse: bool, ssd: bool, passes: int):
-    """Adjoint scan of `_scan_dir`: decay indexed at the neighbour token
-    (ssd prefix/suffix with the opposite flavor)."""
+def _scan_dir_adj_pair(dt, A2, b, ginit, reverse: bool, ssd: bool,
+                       passes: int, masks=None):
+    """(recomputed forward h, adjoint g) for the backward kernel. On the SSD
+    path the two scans share every decay tile (`ssd_core.ssd_pair` — the
+    dir scan and its adjoint always use the same inclusive/exclusive
+    flavor); the window-decay path runs its two scans separately (the r3
+    interleaved-backward experiment measured shared-roll fusion as a loss
+    there — see STATUS.md)."""
     if ssd:
-        return (ssd_prefix(dt, A2, g, exclusive=True, passes=passes)
-                if reverse else ssd_suffix(dt, A2, g, passes=passes))
-    return _wscan_adj_of_rev(dt, A2, g) if reverse else _wscan_adj_of_fwd(dt, A2, g)
+        if reverse:
+            g, h = ssd_pair(dt, A2, ginit, b, exclusive=True, passes=passes,
+                            masks=masks)
+        else:
+            h, g = ssd_pair(dt, A2, b, ginit, exclusive=False, passes=passes,
+                            masks=masks)
+        return h, g
+    if reverse:
+        return (_wscan_rev(dt, A2, b), _wscan_adj_of_rev(dt, A2, ginit))
+    return (_wscan_fwd(dt, A2, b), _wscan_adj_of_fwd(dt, A2, ginit))
 
 
 def _mega_fwd_kernel(
     x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
-    out_ref, st_ref, h_ref, *, reverse: bool, SB: int, N: int,
+    *rest, reverse: bool, SB: int, N: int,
     W: int, L: int, T: int, ssd: bool = False,
 ):
+    if ssd:  # 7 hoisted mask operands precede the outputs (see MASK_NAMES)
+        mask_refs, (out_ref, st_ref, h_ref) = rest[:7], rest[7:]
+        masks = {k: r[...] for k, r in zip(MASK_NAMES, mask_refs)}
+    else:
+        (out_ref, st_ref, h_ref), masks = rest, None
     li = pl.program_id(2)
     nL = pl.num_programs(2)
 
@@ -248,7 +267,7 @@ def _mega_fwd_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
         b = b + jnp.where(col == edge, a_e * h_ref[sl], 0.0)
         passes = 1 if x_ref.dtype == jnp.bfloat16 else 2
-        h = _scan_dir(dti, A2i, b, reverse, ssd, passes)
+        h = _scan_dir(dti, A2i, b, reverse, ssd, passes, masks)
         h_ref[sl] = h[:, :, :1] if reverse else h[:, :, -1:]
         y = jnp.sum(h * Cv[None], axis=1) + Dv[sl] * ui
         zi = z[sl]
@@ -258,10 +277,16 @@ def _mega_fwd_kernel(
 def _mega_bwd_kernel(
     x_ref, xh_ref, z_ref, cw_ref, xp_ref, dtw_ref, dtb_ref, A_ref, Dv_ref,
     st_ref, dout_ref,
-    dxz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
-    g_ref, af_ref, dpre_ref, *, reverse: bool, SB: int, N: int,
+    *rest, reverse: bool, SB: int, N: int,
     W: int, L: int, T: int, ssd: bool = False,
 ):
+    if ssd:  # 7 hoisted mask operands precede the outputs (see MASK_NAMES)
+        mask_refs, rest = rest[:7], rest[7:]
+        masks = {k: r[...] for k, r in zip(MASK_NAMES, mask_refs)}
+    else:
+        masks = None
+    (dxz_ref, dcw_ref, dxp_ref, ddtw_ref, ddtb_ref, dA_ref, dD_ref,
+     g_ref, af_ref, dpre_ref) = rest
     li = pl.program_id(2)
     nL = pl.num_programs(2)
 
@@ -315,20 +340,20 @@ def _mega_bwd_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 2)
         b_folded = b + jnp.where(col == edge, a_e * h_in[sl][:, :, None], 0.0)
         passes = 1 if x_ref.dtype == jnp.bfloat16 else 2
-        h = _scan_dir(dti, A2i, b_folded, reverse, ssd, passes)
 
         zi = z[sl]
         sz = jax.nn.sigmoid(zi)
         silu = zi * sz
-        y_pre = jnp.sum(h * Cv[None], axis=1) + Dv[sl] * ui
         doi = dout[sl]
-        dy = doi * silu
-        dz_l.append(doi * y_pre * (sz + silu * (1.0 - sz)))
-
+        dy = doi * silu  # independent of h -> the adjoint seed can pair with
+        # the forward recompute in ONE shared-decay-tile SSD pass
         ginit = dy[:, None, :] * Cv[None] + jnp.where(
             col == gedge, af_ref[sl] * g_ref[sl], 0.0
         )
-        g = _scan_adj(dti, A2i, ginit, reverse, ssd, passes)
+        h, g = _scan_dir_adj_pair(dti, A2i, b_folded, ginit, reverse, ssd,
+                                  passes, masks)
+        y_pre = jnp.sum(h * Cv[None], axis=1) + Dv[sl] * ui
+        dz_l.append(doi * y_pre * (sz + silu * (1.0 - sz)))
         g_ref[sl] = g[:, :, -1:] if reverse else g[:, :, :1]
         af_ref[sl] = a_e
 
@@ -421,6 +446,22 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
     kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N,
                            W=W, L=L, T=T, ssd=ssd)
 
+    def _mask_operands():
+        """Hoisted SSD mask constants (XLA folds the iota chains into
+        literals at compile time) + their constant-index BlockSpecs: the
+        masks are DMA'd to VMEM once and stay resident across the whole
+        chunk grid instead of being rebuilt in-kernel every chunk. The dir
+        scan's flavor is exclusive=reverse; the adjoint shares it."""
+        if not ssd:
+            return [], []
+        masks = make_masks(T, exclusive=reverse)
+        ops = [masks[k] for k in MASK_NAMES]
+        specs = [
+            pl.BlockSpec(m.shape, (lambda *_: (0, 0)))
+            for m in ops
+        ]
+        return ops, specs
+
     def _fwd_call(xz, cwb, xp, dtw, dtb, A, Dv):
         Bsz, G, _, _, Lp = xz.shape
         nL = Lp // T
@@ -433,6 +474,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(nL - l, nL - 1))
         else:
             hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(l - 1, 0))
+        mask_ops, mask_specs = _mask_operands()
         out, st = pl.pallas_call(
             kf,
             grid=grid,
@@ -446,6 +488,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, Dp, 1), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, N), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, Dp, 1), lambda b, g, l: (g, 0, 0)),
+                *mask_specs,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
@@ -464,7 +507,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv)
+        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv, *mask_ops)
         return out, st
 
     def _bwd_call(xz, cwb, xp, dtw, dtb, A, Dv, st, dout):
@@ -479,6 +522,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(l + 1, nL - 1))
         else:
             hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(nL - 2 - l, 0))
+        mask_ops, mask_specs = _mask_operands()
         outs = pl.pallas_call(
             kb,
             grid=grid,
@@ -494,6 +538,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 pl.BlockSpec((1, Dp, 1), lambda b, g, l: (g, 0, 0)),
                 pl.BlockSpec((1, 1, 1, Dp, N), lambda b, g, l: (b, g, lp(l), 0, 0)),
                 pl.BlockSpec((1, 1, Dp, T), lambda b, g, l: (b, g, 0, lp(l))),
+                *mask_specs,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, 2, Dp, T), lambda b, g, l: (b, g, 0, 0, lp(l))),
@@ -532,7 +577,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                 vmem_limit_bytes=32 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv, st, dout)
+        )(xz, xz, xz, cwb, xp, dtw, dtb, A, Dv, st, dout, *mask_ops)
         return outs
 
     @jax.custom_vjp

@@ -592,6 +592,14 @@ def selective_scan_pallas(
     (batch, G, N, L) with dim % G == 0 — channel group g uses B/C stream g
     (the Mamba module fuses its three directional scans this way). Constant
     B/C (2-D) falls back to the associative-scan implementation.
+
+    Numerics note for A/B-ing MMU_SSD on out-of-domain inputs: the SSD core
+    used on >=32-channel tiles clips its in-16-block factored-decay exponent
+    at +-123 (`ssd_core.E_CLIP`), so it deviates from the exact recurrence —
+    gracefully, never NaN — once per-token dt*|A| exceeds ~10.6. The
+    window-decay core (small-D tiles, or MMU_SSD=0) stays exact everywhere,
+    like the reference CUDA kernel; the two paths agree bit-for-bit only
+    inside the clip's domain (the reference's dt regime is ~100x inside it).
     """
     grouped_ok = (
         B.ndim == C.ndim

@@ -17,6 +17,16 @@ T/16 block axis. ~10 VPU ops/element; benchmarks/ssd_proto.py measured even
 the unfused XLA version of this formulation at parity with the window-decay
 kernel while moving ~8x the HBM bytes.
 
+Round-5 structure: the mask constants can be built ON THE HOST
+(`make_masks`) and passed into the Pallas kernels as operands with constant
+index maps — they then sit in VMEM for the kernel's whole grid instead of
+being rebuilt from iota/compare chains every chunk (a (T,T) build is ~8
+full passes over 262k elements per rebuild — comparable to one scan tile's
+entire elementwise work). `ssd_pair` computes a prefix scan AND a suffix
+scan of the same flavor while sharing every decay tile (zrel, w_in, w_out,
+zmid, S, q, aS) — the backward kernel's forward-recompute + adjoint pair
+uses it to halve the shared-tile arithmetic.
+
 Numerical contract: all CROSS-block factors are pure decays (exponent <= 0,
 unconditionally safe, like the window-decay kernel). The only growing factor
 is the in-16-block w_out = exp2(-A2*zrel) with |exponent| <= |A2| * (8-token
@@ -50,6 +60,9 @@ M_LANE = 128  # matmul lane width (one vreg row)
 R_BLK = 16    # stability block: factored-decay exponent spans +-|A2|*sum8
 E_CLIP = 123.0  # exp2 exponent clip: NaN-free for arbitrary inputs
 
+MASK_NAMES = ("MZ", "MGp", "MGs", "ZM", "CS", "LL", "BC")
+
+
 def _dot(a: Array, m: Array, passes: int = 2) -> Array:
     """f32-accurate mask contraction at 2x bf16-pass cost: every mask here is
     0/1, so after splitting the operand into bf16 hi + lo halves there is NO
@@ -67,24 +80,23 @@ def _dot(a: Array, m: Array, passes: int = 2) -> Array:
     return out + jax.lax.dot(lo, mb, preferred_element_type=jnp.float32)
 
 
-def _pair_masks(T: int, exclusive: bool, suffix: bool):
-    """(T, T) f32 masks: MZ (signed in-16-block midpoint-relative cumsum
-    coefficients, contracted against dt) and MG (block-diag pair mask for
-    the main matmul, used via the (T/128, 128) lane split)."""
+def _pair_mz(T: int, exclusive: bool):
+    """(T, T) signed in-16-block midpoint-relative cumsum coefficients
+    (contracted against dt to give zrel). Values in {-1, 0, 1}."""
     s = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     t = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     same = (s // R_BLK) == (t // R_BLK)
     le = (s < t) if exclusive else (s <= t)
     mid = (t // R_BLK) * R_BLK + R_BLK // 2 - 1
     le_mid = (s < mid) if exclusive else (s <= mid)
-    MZ = (jnp.asarray(same & le, jnp.float32)
-          - jnp.asarray(same & le_mid, jnp.float32))
-    MGl = _lane_pair_mask(exclusive, suffix)
-    return MZ, MGl
+    return (jnp.asarray(same & le, jnp.float32)
+            - jnp.asarray(same & le_mid, jnp.float32))
 
 
-def _lane_pair_mask(exclusive: bool, suffix: bool):
-    """(M_LANE, M_LANE) block-diag-16 pair mask for the lane-split matmul."""
+def _lane_pair_mask(suffix: bool):
+    """(M_LANE, M_LANE) block-diag-16 pair mask for the lane-split matmul.
+    Independent of the inclusive/exclusive flavor (the diagonal term's decay
+    is 1 in both; exclusivity enters through MZ's cumsum choice)."""
     s = jax.lax.broadcasted_iota(jnp.int32, (M_LANE, M_LANE), 0)
     t = jax.lax.broadcasted_iota(jnp.int32, (M_LANE, M_LANE), 1)
     same = (s // R_BLK) == (t // R_BLK)
@@ -107,11 +119,32 @@ def _blk_masks(T: int, exclusive: bool):
     return ZM, CS, LL, BC
 
 
+def make_masks(T: int, exclusive: bool, dtype=jnp.bfloat16) -> dict:
+    """Host-side mask constants for the SSD cores, in `MASK_NAMES` order.
+
+    Built OUTSIDE the kernel and passed as pallas_call operands with
+    constant index maps, so they're DMA'd into VMEM once and reused across
+    every grid step and channel sub-block — instead of being re-derived
+    from iota chains inside the kernel each chunk. bf16 storage is exact:
+    every value is in {-1, 0, 1} and `_dot` casts masks to bf16 anyway.
+    """
+    ZM, CS, LL, BC = _blk_masks(T, exclusive)
+    masks = {
+        "MZ": _pair_mz(T, exclusive),
+        "MGp": _lane_pair_mask(suffix=False),
+        "MGs": _lane_pair_mask(suffix=True),
+        "ZM": ZM, "CS": CS, "LL": LL, "BC": BC,
+    }
+    return {k: v.astype(dtype) for k, v in masks.items()}
+
+
 def _shift_scan(a: Array, f: Array, reverse: bool):
     """Log-depth inclusive scan of the linear recurrence composition
-    (a, f) along the LAST axis (length K, a power of two): returns the
-    inclusive composite F_k = f_k + a_k f_{k-1} + ...  (or the mirror for
-    reverse). Shifts via pad+slice (lane ops on a K-lane minor dim)."""
+    (a, f) along the LAST axis: returns the inclusive composite
+    F_k = f_k + a_k f_{k-1} + ...  (or the mirror for reverse). Correct for
+    ANY length K — the Hillis-Steele doubling loop's reach after its last
+    step is >= K-1 (callers pass KT = T/16, which is only guaranteed a
+    multiple of 8). Shifts via pad+slice (lane ops on a K-lane minor dim)."""
     K = a.shape[-1]
     s = 1
     while s < K:
@@ -129,76 +162,125 @@ def _shift_scan(a: Array, f: Array, reverse: bool):
     return f
 
 
-def _core(dt: Array, A2: Array, b: Array, exclusive: bool, suffix: bool,
-          passes: int = 2):
-    """Shared implementation; see ssd_prefix/ssd_suffix."""
+class _Shared:
+    """Decay tiles shared between a prefix and a suffix scan of the same
+    inclusive/exclusive flavor (and across both when paired). A plain
+    trace-time container — every field is a traced array or static flag."""
+
+    def __init__(self, dt: Array, A2: Array, exclusive: bool, passes: int,
+                 masks: dict | None):
+        if masks is None:
+            ZM, CS, LL, BC = _blk_masks(dt.shape[-1], exclusive)
+            masks = {
+                "MZ": _pair_mz(dt.shape[-1], exclusive),
+                "MGp": _lane_pair_mask(suffix=False),
+                "MGs": _lane_pair_mask(suffix=True),
+                "ZM": ZM, "CS": CS, "LL": LL, "BC": BC,
+            }
+        self.masks = masks
+        self.exclusive = exclusive
+        self.passes = passes
+        zrel = _dot(dt, masks["MZ"])  # (D_blk, T) in-block midpoint-rel cumsum
+        e = jnp.clip(A2[:, :, None] * zrel[:, None, :], -E_CLIP, E_CLIP)
+        self.w_in = jnp.exp2(e)          # (D_blk, N, T)
+        self.w_out = 1.0 / self.w_in
+        # per-16-block scalars via full-T summary matmuls (layout-clean)
+        self.zmid = _dot(dt, masks["ZM"])  # (D_blk, KT)
+        self.S = _dot(dt, masks["CS"])
+        self.q = jnp.exp2(A2[:, :, None] * self.zmid[:, None, :])  # start->mid
+        self.aS = jnp.exp2(A2[:, :, None] * self.S[:, None, :])    # full block
+        self.dtlast = _dot(dt, masks["LL"]) if exclusive else None
+        self.A2 = A2
+
+
+def _prefix_part(sh: _Shared, b: Array) -> Array:
+    """h_t = sum_{s<=t} exp2(A2*(z_t - z_s)) b_s given shared decay tiles."""
+    D_blk, N, T = b.shape
+    K = T // M_LANE
+    scaled = b * sh.w_out
+    G = _dot(scaled.reshape(D_blk * N * K, M_LANE), sh.masks["MGp"],
+             sh.passes).reshape(D_blk, N, T)
+    # block-final local states WITHOUT materialising local = w_in*G first:
+    # extraction at the block-last lane is pointwise, so
+    # (w_in*G)_last = G_last * w_in_last, and w_in at the block end has the
+    # closed form exp2(clip(A2 * zrel_last)) with
+    #   zrel_last = S - zmid            (inclusive cumsum)
+    #   zrel_last = S - dtlast - zmid   (exclusive cumsum)
+    Gl = _dot(G.reshape(D_blk * N, T), sh.masks["LL"], sh.passes).reshape(
+        D_blk, N, T // R_BLK)
+    zlast = sh.S - sh.zmid
+    if sh.exclusive:
+        zlast = zlast - sh.dtlast
+    wlast = jnp.exp2(jnp.clip(sh.A2[:, :, None] * zlast[:, None, :],
+                              -E_CLIP, E_CLIP))
+    fl = Gl * wlast
+    if sh.exclusive:
+        # exclusive recurrence: the next block's entry also decays through
+        # the last token's own dt (kept as a separate factor to mirror the
+        # exact op structure of the pre-pair implementation)
+        fl = fl * jnp.exp2(sh.A2[:, :, None] * sh.dtlast[:, None, :])
+    # entry states E_k = fl_{k-1} + aS_{k-1} E_{k-1}: forward inclusive scan
+    # of (aS, fl), shifted one block to the right
+    F = _shift_scan(sh.aS, fl, reverse=False)
+    Eb = jnp.concatenate([jnp.zeros_like(F[..., :1]), F[..., :-1]], axis=-1)
+    carry = _dot((sh.q * Eb).reshape(D_blk * N, T // R_BLK),
+                 sh.masks["BC"]).reshape(D_blk, N, T)
+    return sh.w_in * (G + carry)
+
+
+def _suffix_part(sh: _Shared, b: Array) -> Array:
+    """g_t = sum_{r>=t} exp2(A2*(z_r - z_t)) b_r given shared decay tiles."""
     D_blk, N, T = b.shape
     K = T // M_LANE
     KT = T // R_BLK
-    MZ, MGl = _pair_masks(T, exclusive, suffix)
-    ZM, CS, LL, BC = _blk_masks(T, exclusive)
-
-    zrel = _dot(dt, MZ)  # (D_blk, T) in-16-block midpoint-relative cumsum
-    e = jnp.clip(A2[:, :, None] * zrel[:, None, :], -E_CLIP, E_CLIP)
-    w_in = jnp.exp2(e)          # (D_blk, N, T)
-    w_out = 1.0 / w_in
-
-    scaled = b * (w_in if suffix else w_out)
-    # the ONLY lane-split reshape: (D_blk*N, T) -> (D_blk*N*K, 128) so the
-    # pair matmul runs at lane width 128 (FLOPs 2*D*N*T*128, not *T)
-    G = _dot(scaled.reshape(D_blk * N * K, M_LANE), MGl, passes).reshape(
-        D_blk, N, T)
-    local = (w_out if suffix else w_in) * G
-
-    # per-16-block scalars via full-T summary matmuls (layout-clean)
-    zmid = _dot(dt, ZM)  # (D_blk, KT)
-    S = _dot(dt, CS)
-    q = jnp.exp2(A2[:, :, None] * zmid[:, None, :])   # start->mid decay <= 1
-    aS = jnp.exp2(A2[:, :, None] * S[:, None, :])     # full-block decay <= 1
-
-    if suffix:
-        # block row-sums of w_in*b in block-start basis
-        rs = _dot(scaled.reshape(D_blk * N, T), CS, passes).reshape(
-            D_blk, N, KT) * q
-        # suffix entry states B_k = rs_{k+1} + aS_{k+1} B_{k+1}: a reversed
-        # inclusive scan of (aS, rs), shifted one block to the left
-        F = _shift_scan(aS, rs, reverse=True)
-        Bb = jnp.concatenate([F[..., 1:], jnp.zeros_like(F[..., :1])], axis=-1)
-        qb = jnp.exp2(A2[:, :, None] * (S - zmid)[:, None, :])  # mid->end <= 1
-        carry = _dot((qb * Bb).reshape(D_blk * N, KT), BC).reshape(D_blk, N, T)
-        return local + w_out * carry
-
-    # prefix: block-final local states (value at last lane)
-    fl = _dot(local.reshape(D_blk * N, T), LL, passes).reshape(D_blk, N, KT)
-    if exclusive:
-        dtlast = _dot(dt, LL)
-        fl = fl * jnp.exp2(A2[:, :, None] * dtlast[:, None, :])
-    # entry states E_k = fl_{k-1} + aS_{k-1} E_{k-1}: forward inclusive scan
-    # of (aS, fl), shifted one block to the right
-    F = _shift_scan(aS, fl, reverse=False)
-    Eb = jnp.concatenate([jnp.zeros_like(F[..., :1]), F[..., :-1]], axis=-1)
-    carry = _dot((q * Eb).reshape(D_blk * N, KT), BC).reshape(D_blk, N, T)
-    return local + w_in * carry
+    scaled = b * sh.w_in
+    G = _dot(scaled.reshape(D_blk * N * K, M_LANE), sh.masks["MGs"],
+             sh.passes).reshape(D_blk, N, T)
+    # block row-sums of w_in*b in block-start basis
+    rs = _dot(scaled.reshape(D_blk * N, T), sh.masks["CS"], sh.passes).reshape(
+        D_blk, N, KT) * sh.q
+    # suffix entry states B_k = rs_{k+1} + aS_{k+1} B_{k+1}: a reversed
+    # inclusive scan of (aS, rs), shifted one block to the left
+    F = _shift_scan(sh.aS, rs, reverse=True)
+    Bb = jnp.concatenate([F[..., 1:], jnp.zeros_like(F[..., :1])], axis=-1)
+    qb = jnp.exp2(sh.A2[:, :, None] * (sh.S - sh.zmid)[:, None, :])  # mid->end
+    carry = _dot((qb * Bb).reshape(D_blk * N, KT),
+                 sh.masks["BC"]).reshape(D_blk, N, T)
+    return sh.w_out * (G + carry)
 
 
 def ssd_prefix(dt: Array, A2: Array, b: Array, exclusive: bool = False,
-               passes: int = 2) -> Array:
+               passes: int = 2, masks: dict | None = None) -> Array:
     """h_t = sum_{s<=t} exp2(A2*(z_t - z_s)) b_s over the T axis.
 
     dt (D_blk, T) f32, A2 (D_blk, N) f32 (A*log2e, negative), b (D_blk, N, T).
     z inclusive: recurrence h_t = exp2(A2 dt_t) h_{t-1} + b_t;
     z exclusive: recurrence h_t = exp2(A2 dt_{t-1}) h_{t-1} + b_t.
-    Requires T % 128 == 0.
+    Requires T % 128 == 0. `masks` from `make_masks(T, exclusive)` skips the
+    in-kernel mask rebuild (pass them as pallas operands).
     """
-    return _core(dt, A2, b, exclusive, suffix=False, passes=passes)
+    return _prefix_part(_Shared(dt, A2, exclusive, passes, masks), b)
 
 
 def ssd_suffix(dt: Array, A2: Array, b: Array, exclusive: bool = False,
-               passes: int = 2) -> Array:
+               passes: int = 2, masks: dict | None = None) -> Array:
     """g_t = sum_{r>=t} exp2(A2*(z_r - z_t)) b_r over the T axis.
 
     z inclusive: the adjoint of the forward scan (decay at the LATER index);
     z exclusive: the reversed-direction scan h_t = exp2(A2 dt_t) h_{t+1} + b_t.
     Requires T % 128 == 0.
     """
-    return _core(dt, A2, b, exclusive, suffix=True, passes=passes)
+    return _suffix_part(_Shared(dt, A2, exclusive, passes, masks), b)
+
+
+def ssd_pair(dt: Array, A2: Array, b_prefix: Array, b_suffix: Array,
+             exclusive: bool = False, passes: int = 2,
+             masks: dict | None = None) -> tuple[Array, Array]:
+    """(prefix scan of b_prefix, suffix scan of b_suffix) sharing every
+    decay tile. The backward kernel's forward-recompute and adjoint scans
+    always use the SAME inclusive/exclusive flavor (forward dir: prefix
+    inclusive + suffix inclusive; reversed dir: suffix exclusive + prefix
+    exclusive), so zrel, the (D,N,T) exp2/reciprocal w tiles and the block
+    summaries are computed once instead of twice."""
+    sh = _Shared(dt, A2, exclusive, passes, masks)
+    return _prefix_part(sh, b_prefix), _suffix_part(sh, b_suffix)

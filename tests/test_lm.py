@@ -114,3 +114,36 @@ def test_generate_scan_jits_whole_loop():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(generate(model, variables, ids, 5))
     )
+
+
+def test_generate_teacher_forcing_and_eos():
+    """teacher_outputs replaces sampling at in-range positions and eos stops
+    the whole batch (reference `generation.py:163-175`); the jitted scan
+    agrees up to its documented eos-padded fixed-shape output."""
+    from mm_unet_tpu.models.lm import generate_scan
+
+    model = MambaLMHeadModel(d_model=16, n_layer=2, vocab_size=30, d_state=8)
+    ids = jax.random.randint(jax.random.key(0), (2, 4), 0, 30)
+    variables = jax.jit(model.init)(jax.random.key(1), ids)
+
+    # teacher covers prompt + 3 decode steps: those 3 tokens are forced,
+    # the remaining steps fall back to greedy sampling
+    teacher = jax.random.randint(jax.random.key(3), (2, 7), 1, 30)
+    a = generate(model, variables, ids, 6, teacher_outputs=teacher)
+    np.testing.assert_array_equal(np.asarray(a[:, 4:7]), np.asarray(teacher[:, 4:7]))
+    b = generate_scan(model, variables, ids, 6, teacher_outputs=teacher)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # eos stop: force eos for every sequence at decode step 1 -> the python
+    # loop stops there (output ends at the eos column), the jitted scan pads
+    # the remaining fixed-shape columns with eos
+    eos = 5
+    teacher_eos = teacher.at[:, 5].set(eos)
+    a = generate(model, variables, ids, 6, teacher_outputs=teacher_eos,
+                 eos_token_id=eos)
+    assert a.shape[1] == 6  # prompt 4 + forced step + the all-eos column
+    assert np.all(np.asarray(a[:, -1]) == eos)
+    b = generate_scan(model, variables, ids, 6, teacher_outputs=teacher_eos,
+                      eos_token_id=eos)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b[:, : a.shape[1]]))
+    assert np.all(np.asarray(b[:, a.shape[1]:]) == eos)

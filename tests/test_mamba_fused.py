@@ -66,12 +66,14 @@ def _assert_grads(args, got_shape, reverse, rtol=5e-3, atol=5e-3, seed=1):
 
 
 @pytest.mark.parametrize("D,L,G,reverse", [
+    # the two small params stay UNMARKED so a default (no --runslow) run
+    # keeps value+gradient parity coverage of BOTH scan directions of the
+    # fused kernel (the reverse path is bi-Mamba's backward scan)
     (16, 96, 1, False),
     (16, 96, 1, True),
     pytest.param(40, 200, 3, False, marks=pytest.mark.slow),
     pytest.param(40, 200, 2, True, marks=pytest.mark.slow),
 ])
-@pytest.mark.slow
 def test_mega_matches_unfused(D, L, G, reverse):
     args = _make(D, L, G)
     got = mamba_fused_scan(*args, reverse=reverse)
@@ -120,6 +122,20 @@ def test_mega_bf16_streams():
     bf = [args[0].astype(jnp.bfloat16)] + list(args[1:])
     got = mamba_fused_scan(*bf)
     want = _ref_path(*[a.astype(jnp.float32) for a in bf], reverse=False)
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_mega_bf16_ssd_path(reverse):
+    """bf16 streams at D>=64 engage the SSD chunked-matmul core (the
+    production RCG configuration: bf16 streams + 1-pass mask dots) — pins
+    the precision path the smaller bf16 test (D=24, window-decay) misses."""
+    args = _make(64, 256, 1, seed=9)
+    bf = [args[0].astype(jnp.bfloat16)] + list(args[1:])
+    got = mamba_fused_scan(*bf, reverse=reverse)
+    want = _ref_path(*[a.astype(jnp.float32) for a in bf], reverse=reverse)
     np.testing.assert_allclose(
         np.asarray(got).astype(np.float32), np.asarray(want), rtol=5e-2, atol=5e-2
     )
