@@ -194,20 +194,29 @@ class ConfusionMatrixMetric(Metric):
     def aggregate(self) -> np.ndarray:
         self._drain()
         tp, fp, tn, fn = self.tp, self.fp, self.tn, self.fn
-        eps = 1e-12
+
+        def _div(num, den):
+            # MONAI compute_confusion_matrix_metric: 0/0 -> nan (e.g.
+            # precision with no positive predictions), like the reference's
+            # val loop observes; pinned by tests/test_val_parity.py
+            num, den = np.asarray(num, np.float64), np.asarray(den, np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(den != 0, num / np.where(den != 0, den, 1.0),
+                                np.nan)
+
         name = self.metric_name
         if name == "f1 score":
-            v = 2 * tp / np.maximum(2 * tp + fp + fn, eps)
+            v = _div(2 * tp, 2 * tp + fp + fn)
         elif name == "precision":
-            v = tp / np.maximum(tp + fp, eps)
+            v = _div(tp, tp + fp)
         elif name == "recall":
-            v = tp / np.maximum(tp + fn, eps)
+            v = _div(tp, tp + fn)
         elif name == "accuracy":
-            v = (tp + tn) / np.maximum(tp + tn + fp + fn, eps)
+            v = _div(tp + tn, tp + tn + fp + fn)
         else:  # MCC
             num = tp * tn - fp * fn
             den = np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
-            v = num / np.maximum(den, eps)
+            v = _div(num, den)
         return np.atleast_1d(v)
 
 
