@@ -63,9 +63,13 @@ def _emit(payload: dict) -> None:
 
 
 def _err_str(limit: int = 600) -> str:
-    """Last line of the active exception, truncated — lands IN the JSON."""
-    lines = traceback.format_exc().strip().splitlines()
-    return (lines[-1] if lines else "unknown")[:limit]
+    """The active exception itself (type + message), truncated — lands IN
+    the JSON. format_exception_only, not the traceback's last line: JAX
+    appends a traceback-filtering notice line that would mask the error."""
+    import sys as _sys
+
+    err = _sys.exc_info()[1]
+    return "".join(traceback.format_exception_only(type(err), err)).strip()[:limit]
 
 
 _T0 = time.perf_counter()
@@ -231,7 +235,11 @@ def main() -> int:
     _mark("FULL extras: 704² STARE leg")
     try:
         b704 = 4
-        model704 = MM_Net(num_classes=1, remat=True)
+        # 704² needs the STARE-protocol slice list (the default (64,32,16,8)
+        # fails stage 5's 484-token divisibility — the reference's own 704
+        # config is infeasible as shipped; see models.mm_unet.validate_input_size)
+        model704 = MM_Net(num_classes=1, remat=True,
+                          num_slices_list=(64, 32, 16, 4))
         x7 = jax.random.normal(jax.random.fold_in(rng, 3), (b704, 3, 704, 704), jnp.float32)
         y7 = (jax.random.uniform(jax.random.fold_in(rng, 4), (b704, 1, 704, 704)) > 0.9).astype(
             jnp.float32

@@ -30,7 +30,10 @@ def bench_batch(batch: int) -> float:
         trainer=dict(lr=1e-3, warmup=2, num_epochs=3000, weight_decay=0.05,
                      steps_per_epoch=10, optimizer="adamw")
     )
-    model = MM_Net(num_classes=1, remat=True)
+    # MMU_SWEEP_REMAT=0 probes the no-recompute profile (bench.py's operating
+    # point); default True matches large-image protocols
+    model = MM_Net(num_classes=1,
+                   remat=os.environ.get("MMU_SWEEP_REMAT", "1") != "0")
     rng = jax.random.key(0)
     x = jax.random.normal(jax.random.fold_in(rng, 1), (batch, 3, SIZE, SIZE), jnp.float32)
     y = (jax.random.uniform(jax.random.fold_in(rng, 2), (batch, 1, SIZE, SIZE)) > 0.9).astype(jnp.float32)

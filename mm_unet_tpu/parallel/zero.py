@@ -37,10 +37,12 @@ _FLAT_VECTOR_KEYS = ("m", "v", "wd")
 
 def is_flat_adamw_state(opt_state) -> bool:
     """True when `opt_state` is the flat_adamw dict ({count, m, v, wd} with
-    1-D moment vectors)."""
+    1-D moment vectors, plus the optional per-big-leaf {bm, bv} of the
+    hybrid path — see `optim.flat_adamw(big_leaf_elems=...)`)."""
     return (
         isinstance(opt_state, dict)
-        and set(opt_state) == {"count", "m", "v", "wd"}
+        and {"count", "m", "v", "wd"}.issubset(opt_state)
+        and set(opt_state) <= {"count", "m", "v", "wd", "bm", "bv"}
         and all(getattr(opt_state[k], "ndim", None) == 1 for k in _FLAT_VECTOR_KEYS)
     )
 
@@ -65,6 +67,12 @@ def shard_opt_state(opt_state, mesh: Mesh, axis: str = "data"):
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), opt_state)
     vec = NamedSharding(mesh, P(axis))
     return {
-        k: jax.device_put(v, vec if k in _FLAT_VECTOR_KEYS else repl)
+        k: (
+            jax.device_put(v, vec)
+            if k in _FLAT_VECTOR_KEYS
+            # bm/bv (hybrid big-leaf moments) and count replicate; per-leaf
+            # sharding of the big moments would need divisible leaf dims
+            else jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), v)
+        )
         for k, v in opt_state.items()
     }

@@ -69,16 +69,27 @@ def flat_adamw(
     mask_tree=None,
     clip_norm: float | None = None,
     pad_to: int = 256,
+    big_leaf_elems: int = 4096,
 ) -> optax.GradientTransformation:
-    """AdamW over ONE raveled parameter vector — numerically identical to
-    `optax.adamw(..., mask=mask_tree)` but fused: a model with hundreds of
-    parameter leaves otherwise lowers to hundreds of tiny per-leaf XLA
-    fusions (measured ~10 ms/step of dispatch-bound f32[64]-sized kernels in
-    the MM_Net train step); on the flat vector the whole update is a handful
-    of large elementwise ops.
+    """AdamW fused over ONE raveled vector for the small parameter leaves,
+    per-leaf for the big ones — numerically identical to
+    `optax.adamw(..., mask=mask_tree)`.
 
-    State: (count, m, v, wd) with m/v/wd flat f32 vectors; `wd` is the
-    weight-decay mask baked at init from `mask_tree` (see `wd_mask`).
+    Why hybrid: a model with hundreds of parameter leaves lowers to hundreds
+    of tiny dispatch-bound per-leaf fusions (~10 ms/step measured round 2) —
+    the flat vector fixes that. But ravel/unravel of the BIG leaves makes
+    XLA relayout the whole vector between its 1-D T(1024) tiling and the
+    leaves' 2-D T(8,128) tilings, which profiled at ~15 ms/step on MM_Net
+    (round 5, `%reshape.60659` family). Leaves with >= `big_leaf_elems`
+    elements (~3% of the leaf count, ~95% of the bytes) therefore update
+    per-leaf — real-sized kernels, no relayout — and only the small-leaf
+    tail rides the flat vector.
+
+    State: {count, m, v, wd, bm, bv} — m/v/wd flat f32 vectors over the
+    small leaves (`wd` is the weight-decay mask baked at init from
+    `mask_tree`, see `wd_mask`); bm/bv are per-big-leaf moment dicts keyed
+    by flattened path (the big leaves' static 0/1 decay factors live in the
+    closure, not the state).
 
     The vectors are zero-padded to a multiple of `pad_to` (default 256) so
     ZeRO-1 can lay them out P("data") over any mesh axis up to that size
@@ -94,40 +105,99 @@ def flat_adamw(
     def _pad(vec):
         return jnp.pad(vec, (0, (-vec.shape[0]) % pad_to))
 
+    def _path_key(path) -> str:
+        return "/".join(
+            str(getattr(e, "key", getattr(e, "idx", e))) for e in path
+        )
+
+    def _is_big(leaf) -> bool:
+        return getattr(leaf, "size", 0) >= big_leaf_elems
+
+    def _small_tree(tree):
+        """Big leaves replaced by 0-length arrays: same pytree structure,
+        so ravel/unravel skip their bytes entirely."""
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((0,), x.dtype) if _is_big(x) else x, tree
+        )
+
+    def _big_dict(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if _is_big(leaf):
+                out[_path_key(path)] = leaf
+        return out
+
     def init(params):
-        flat, _ = ravel_pytree(params)
+        flat, _ = ravel_pytree(_small_tree(params))
         mt = mask_tree if mask_tree is not None else wd_mask(params)
         wd_vec, _ = ravel_pytree(
-            jax.tree_util.tree_map(
-                lambda p, m: jnp.full(p.shape, float(m), p.dtype), params, mt
+            _small_tree(
+                jax.tree_util.tree_map(
+                    lambda p, m: jnp.full(p.shape, float(m), p.dtype), params, mt
+                )
             )
         )
+        bigs = _big_dict(params)
         return {
             "count": jnp.zeros((), jnp.int32),
             "m": jnp.zeros_like(_pad(flat)),
             "v": jnp.zeros_like(_pad(flat)),
             "wd": _pad(wd_vec),
+            "bm": {k: jnp.zeros_like(v) for k, v in bigs.items()},
+            "bv": {k: jnp.zeros_like(v) for k, v in bigs.items()},
         }
 
     def update(grads, state, params):
-        g, unravel = ravel_pytree(grads)
-        p, _ = ravel_pytree(params)
+        mt = mask_tree if mask_tree is not None else wd_mask(params)
+        # static per-big-leaf decay flags from the mask tree (python bools)
+        big_wd = {}
+        for (path, leaf), (_, flag) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(mt)[0],
+        ):
+            if _is_big(leaf):
+                big_wd[_path_key(path)] = float(flag)
+
+        g, unravel = ravel_pytree(_small_tree(grads))
+        p, _ = ravel_pytree(_small_tree(params))
+        gb = _big_dict(grads)
+        pb = _big_dict(params)
         n = g.shape[0]
         if clip_norm is not None:
-            gn = jnp.sqrt(jnp.sum(g * g))
-            g = g * jnp.minimum(1.0, clip_norm / jnp.maximum(gn, 1e-12))
+            gsq = jnp.sum(g * g) + sum(jnp.sum(x * x) for x in gb.values())
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(jnp.sqrt(gsq), 1e-12))
+            g = g * scale
+            gb = {k: x * scale for k, x in gb.items()}
         g, p = _pad(g), _pad(p)
         count = state["count"] + 1
-        m = b1 * state["m"] + (1.0 - b1) * g
-        v = b2 * state["v"] + (1.0 - b2) * (g * g)
         c = count.astype(jnp.float32)
-        mhat = m / (1.0 - b1**c)
-        vhat = v / (1.0 - b2**c)
-        u = mhat / (jnp.sqrt(vhat) + eps) + weight_decay * state["wd"] * p
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
         # optax's scale_by_schedule evaluates the schedule at the PRE-increment
         # count (first update sees lr(0)) — match it exactly
-        u = -_lr(state["count"]) * u
-        return unravel(u[:n]), {"count": count, "m": m, "v": v, "wd": state["wd"]}
+        step_lr = _lr(state["count"])
+
+        m = b1 * state["m"] + (1.0 - b1) * g
+        v = b2 * state["v"] + (1.0 - b2) * (g * g)
+        u = (m / bc1) / (jnp.sqrt(v / bc2) + eps) + weight_decay * state["wd"] * p
+        u_small = unravel((-step_lr * u)[:n])
+
+        bm, bv, bu = {}, {}, {}
+        for k in gb:
+            bm[k] = b1 * state["bm"][k] + (1.0 - b1) * gb[k]
+            bv[k] = b2 * state["bv"][k] + (1.0 - b2) * (gb[k] * gb[k])
+            uu = (bm[k] / bc1) / (jnp.sqrt(bv[k] / bc2) + eps)
+            if big_wd[k]:
+                uu = uu + weight_decay * pb[k]
+            bu[k] = -step_lr * uu
+
+        def merge(path, p_leaf, u_leaf):
+            key = _path_key(path)
+            return bu[key] if key in bu else u_leaf
+
+        updates = jax.tree_util.tree_map_with_path(merge, params, u_small)
+        return updates, {"count": count, "m": m, "v": v, "wd": state["wd"],
+                         "bm": bm, "bv": bv}
 
     return optax.GradientTransformation(init, update)
 

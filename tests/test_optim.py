@@ -19,9 +19,14 @@ def _tree(seed=0):
     rng = np.random.default_rng(seed)
     f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa: E731
     return {
-        "conv": {"kernel": f(3, 3, 4, 8), "bias": f(8)},
+        # big_kernel/big_nodecay exceed flat_adamw's big_leaf_elems=4096,
+        # so the hybrid per-leaf path (decayed AND no-decay flavors) is
+        # exercised alongside the small-leaf flat vector
+        "conv": {"kernel": f(3, 3, 4, 8), "bias": f(8),
+                 "big_kernel": f(3, 3, 32, 32)},
         "bn": {"scale": f(8), "bias": f(8)},
-        "mamba": {"A_log": f(16, 4), "D": f(16), "x_proj_weight": f(9, 16)},
+        "mamba": {"A_log": f(16, 4), "D": f(16), "x_proj_weight": f(9, 16),
+                  "big_nodecay_bias": f(8192)},
         "altho": f(),
     }
 
