@@ -48,6 +48,12 @@ Array = jax.Array
 _LOG2E = 1.4426950408889634
 _BIG = 1e30  # masked window sum -> exp2(A*_BIG) == 0 for A < 0
 
+# A/B toggle (read at import): pass the SSD masks as VMEM-resident kernel
+# operands (1) or rebuild them from iota chains inside the kernel (0).
+# Round-5 measurement: hoisting REGRESSED RCG2 fwd 38.9 -> 42.5 ms — Mosaic
+# constant-folds the in-kernel masks, so operands only add load overhead.
+_HOIST = os.environ.get("MMU_SSD_HOIST", "0") != "0"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -214,6 +220,11 @@ def _scan_dir_adj_pair(dt, A2, b, ginit, reverse: bool, ssd: bool,
     interleaved-backward experiment measured shared-roll fusion as a loss
     there — see STATUS.md)."""
     if ssd:
+        if os.environ.get("MMU_SSD_PAIR", "1") == "0":  # A/B: separate scans
+            return (_scan_dir(dt, A2, b, reverse, ssd, passes, masks),
+                    ssd_prefix(dt, A2, ginit, exclusive=True, passes=passes,
+                               masks=masks) if reverse
+                    else ssd_suffix(dt, A2, ginit, passes=passes, masks=masks))
         if reverse:
             g, h = ssd_pair(dt, A2, ginit, b, exclusive=True, passes=passes,
                             masks=masks)
@@ -231,7 +242,7 @@ def _mega_fwd_kernel(
     *rest, reverse: bool, SB: int, N: int,
     W: int, L: int, T: int, ssd: bool = False,
 ):
-    if ssd:  # 7 hoisted mask operands precede the outputs (see MASK_NAMES)
+    if ssd and _HOIST:  # 7 mask operands precede the outputs (MASK_NAMES)
         mask_refs, (out_ref, st_ref, h_ref) = rest[:7], rest[7:]
         masks = {k: r[...] for k, r in zip(MASK_NAMES, mask_refs)}
     else:
@@ -280,7 +291,7 @@ def _mega_bwd_kernel(
     *rest, reverse: bool, SB: int, N: int,
     W: int, L: int, T: int, ssd: bool = False,
 ):
-    if ssd:  # 7 hoisted mask operands precede the outputs (see MASK_NAMES)
+    if ssd and _HOIST:  # 7 mask operands precede the outputs (MASK_NAMES)
         mask_refs, rest = rest[:7], rest[7:]
         masks = {k: r[...] for k, r in zip(MASK_NAMES, mask_refs)}
     else:
@@ -433,7 +444,7 @@ def _mega_bwd_kernel(
 @functools.lru_cache(maxsize=None)
 def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
                W: int, L: int, reverse: bool, interpret: bool,
-               ssd: bool = False):
+               ssd: tuple = (False, False)):
     """core(xz (B,G,2,Dp,Lp) packed raw pre-conv + gate streams,
     cwb (G,Dp,8) conv taps+bias, xp (G,rBp+2N,Dp), dtw (G,Dp,rBp),
     dtb (G,Dp,1), A (G,Dp,N), Dv (G,Dp,1)) -> out (B,G,Dp,Lp) in the stream
@@ -441,18 +452,19 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
     kernel selects each half by BlockSpec index map, so the host never
     materialises separate x/z copies, and the backward emits one packed dxz."""
 
+    ssd_f, ssd_b = ssd  # forward-kernel / backward-kernel core choice
     kf = functools.partial(_mega_fwd_kernel, reverse=reverse, SB=SBf, N=N,
-                           W=W, L=L, T=T, ssd=ssd)
+                           W=W, L=L, T=T, ssd=ssd_f)
     kb = functools.partial(_mega_bwd_kernel, reverse=reverse, SB=SBb, N=N,
-                           W=W, L=L, T=T, ssd=ssd)
+                           W=W, L=L, T=T, ssd=ssd_b)
 
-    def _mask_operands():
+    def _mask_operands(ssd):
         """Hoisted SSD mask constants (XLA folds the iota chains into
         literals at compile time) + their constant-index BlockSpecs: the
         masks are DMA'd to VMEM once and stay resident across the whole
         chunk grid instead of being rebuilt in-kernel every chunk. The dir
         scan's flavor is exclusive=reverse; the adjoint shares it."""
-        if not ssd:
+        if not (ssd and _HOIST):
             return [], []
         masks = make_masks(T, exclusive=reverse)
         ops = [masks[k] for k in MASK_NAMES]
@@ -474,7 +486,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(nL - l, nL - 1))
         else:
             hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(l - 1, 0))
-        mask_ops, mask_specs = _mask_operands()
+        mask_ops, mask_specs = _mask_operands(ssd_f)
         out, st = pl.pallas_call(
             kf,
             grid=grid,
@@ -522,7 +534,7 @@ def _mega_core(T: int, Dp: int, SBf: int, SBb: int, N: int, rBp: int,
             hf = lambda b, g, l: (b, g, 0, 0, jnp.minimum(l + 1, nL - 1))
         else:
             hf = lambda b, g, l: (b, g, 0, 0, jnp.maximum(nL - 2 - l, 0))
-        mask_ops, mask_specs = _mask_operands()
+        mask_ops, mask_specs = _mask_operands(ssd_b)
         outs = pl.pallas_call(
             kb,
             grid=grid,
@@ -662,8 +674,11 @@ def mamba_fused_scan(
     rBp = _round_up(R, 8)
     # small-channel scans are grid-overhead bound: longer chunks trade a few
     # extra Hillis-Steele passes for 2-4x fewer grid steps (MMU_MEGA_T_SMALL
-    # is the A/B knob; 1024 measured best at Dp=8..24)
-    T = int(os.environ.get("MMU_MEGA_T_SMALL", "1024")) if Dp <= 24 else 512
+    # is the A/B knob; 1024 measured best at Dp=8..24). MMU_MEGA_T_BIG
+    # re-sweeps the large-tile chunk under the SSD core (512 default was
+    # tuned for the window-decay kernel).
+    T = (int(os.environ.get("MMU_MEGA_T_SMALL", "1024")) if Dp <= 24
+         else int(os.environ.get("MMU_MEGA_T_BIG", "512")))
     Lp = _round_up(L, T)
 
     cdtype = jnp.bfloat16 if xz.dtype == jnp.bfloat16 else xz.dtype
@@ -693,12 +708,19 @@ def mamba_fused_scan(
     A_pad = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, pad_d), (0, 0)))
     D_pad = jnp.pad(D_skip.astype(jnp.float32), ((0, 0), (0, pad_d)))[..., None]
 
-    # SSD chunked-matmul scan core for large-D tiles (RCG shapes); the
-    # small-D MMConv kernels stay on the window-decay core (grid-overhead
-    # bound; the SSD masks/matmuls would dominate their tiny tiles)
+    # SSD chunked-matmul scan core. Large-D tiles (RCG shapes) both
+    # directions since round 4; round 5 extends it to the small-D MMConv
+    # tiles' BACKWARD kernels (MMU_SSD_SMALL knob): their window-decay
+    # recompute+adjoint burned ~45 VPU ops/element over log2(T) passes while
+    # the paired SSD needs ~10 (MMC6 A/B: f+b 16.8 -> 9.6 ms). The small-D
+    # FORWARD keeps the window core — its SSD variant measured SLOWER
+    # (3.3 -> 4.2 ms: the M=8-row zrel/summary matmuls waste the MXU and the
+    # lighter fwd can't amortise them).
+    ssd_ok = T % 128 == 0 and os.environ.get("MMU_SSD", "1") != "0"
+    big = min(SBf, SBb) >= 32
     use_ssd = (
-        min(SBf, SBb) >= 32 and T % 128 == 0
-        and os.environ.get("MMU_SSD", "1") != "0"
+        ssd_ok and (big or os.environ.get("MMU_SSD_SMALL_FWD", "0") != "0"),
+        ssd_ok and (big or os.environ.get("MMU_SSD_SMALL", "1") != "0"),
     )
     core = _mega_core(T, Dp, SBf, SBb, N, rBp, W, L, bool(reverse),
                       bool(interpret), use_ssd)

@@ -51,10 +51,19 @@ Reference semantics anchor: the same recurrence as the CUDA chunked scan at
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# A/B toggle (read at import): derive the prefix block-final states from
+# G's last lane via closed-form w_in (saves one full-tile multiply) vs the
+# original local=w_in*G materialisation. Default OFF: measured RCG2 fwd
+# 38.9 -> 41.9 ms with it on — Mosaic schedules the local materialisation
+# better than the "saved" multiply is worth (round 5).
+_GOLF = os.environ.get("MMU_SSD_GOLF", "0") != "0"
 
 M_LANE = 128  # matmul lane width (one vreg row)
 R_BLK = 16    # stability block: factored-decay exponent spans +-|A2|*sum8
@@ -200,24 +209,29 @@ def _prefix_part(sh: _Shared, b: Array) -> Array:
     scaled = b * sh.w_out
     G = _dot(scaled.reshape(D_blk * N * K, M_LANE), sh.masks["MGp"],
              sh.passes).reshape(D_blk, N, T)
-    # block-final local states WITHOUT materialising local = w_in*G first:
-    # extraction at the block-last lane is pointwise, so
-    # (w_in*G)_last = G_last * w_in_last, and w_in at the block end has the
-    # closed form exp2(clip(A2 * zrel_last)) with
-    #   zrel_last = S - zmid            (inclusive cumsum)
-    #   zrel_last = S - dtlast - zmid   (exclusive cumsum)
-    Gl = _dot(G.reshape(D_blk * N, T), sh.masks["LL"], sh.passes).reshape(
-        D_blk, N, T // R_BLK)
-    zlast = sh.S - sh.zmid
-    if sh.exclusive:
-        zlast = zlast - sh.dtlast
-    wlast = jnp.exp2(jnp.clip(sh.A2[:, :, None] * zlast[:, None, :],
-                              -E_CLIP, E_CLIP))
-    fl = Gl * wlast
+    if _GOLF:
+        # block-final local states WITHOUT materialising local = w_in*G:
+        # extraction at the block-last lane is pointwise, so
+        # (w_in*G)_last = G_last * w_in_last, and w_in at the block end has
+        # the closed form exp2(clip(A2 * zrel_last)) with
+        #   zrel_last = S - zmid            (inclusive cumsum)
+        #   zrel_last = S - dtlast - zmid   (exclusive cumsum)
+        Gl = _dot(G.reshape(D_blk * N, T), sh.masks["LL"], sh.passes).reshape(
+            D_blk, N, T // R_BLK)
+        zlast = sh.S - sh.zmid
+        if sh.exclusive:
+            zlast = zlast - sh.dtlast
+        wlast = jnp.exp2(jnp.clip(sh.A2[:, :, None] * zlast[:, None, :],
+                                  -E_CLIP, E_CLIP))
+        fl = Gl * wlast
+        local = None
+    else:
+        local = sh.w_in * G
+        fl = _dot(local.reshape(D_blk * N, T), sh.masks["LL"],
+                  sh.passes).reshape(D_blk, N, T // R_BLK)
     if sh.exclusive:
         # exclusive recurrence: the next block's entry also decays through
-        # the last token's own dt (kept as a separate factor to mirror the
-        # exact op structure of the pre-pair implementation)
+        # the last token's own dt
         fl = fl * jnp.exp2(sh.A2[:, :, None] * sh.dtlast[:, None, :])
     # entry states E_k = fl_{k-1} + aS_{k-1} E_{k-1}: forward inclusive scan
     # of (aS, fl), shifted one block to the right
@@ -225,7 +239,9 @@ def _prefix_part(sh: _Shared, b: Array) -> Array:
     Eb = jnp.concatenate([jnp.zeros_like(F[..., :1]), F[..., :-1]], axis=-1)
     carry = _dot((sh.q * Eb).reshape(D_blk * N, T // R_BLK),
                  sh.masks["BC"]).reshape(D_blk, N, T)
-    return sh.w_in * (G + carry)
+    if _GOLF:
+        return sh.w_in * (G + carry)
+    return local + sh.w_in * carry
 
 
 def _suffix_part(sh: _Shared, b: Array) -> Array:
@@ -246,7 +262,9 @@ def _suffix_part(sh: _Shared, b: Array) -> Array:
     qb = jnp.exp2(sh.A2[:, :, None] * (sh.S - sh.zmid)[:, None, :])  # mid->end
     carry = _dot((qb * Bb).reshape(D_blk * N, KT),
                  sh.masks["BC"]).reshape(D_blk, N, T)
-    return sh.w_out * (G + carry)
+    if _GOLF:
+        return sh.w_out * (G + carry)
+    return sh.w_out * G + sh.w_out * carry
 
 
 def ssd_prefix(dt: Array, A2: Array, b: Array, exclusive: bool = False,
