@@ -76,29 +76,34 @@ def _gather_tap(xs, yc_row, C, S, Ho):
     fl = jnp.clip(jnp.floor(yc_row), 0, max(S - 2, 0))  # (1, Ho)
     frac = pltpu.repeat(yc_row - fl, C, axis=0)  # (C, Ho)
     idx = pltpu.repeat(fl.astype(jnp.int32), C, axis=0)
-    # the lowering requires idx.shape == source.shape, so both the source
-    # rows and the output positions walk in matching <=128-lane chunks
-    # (Ho == S, so the chunkings line up)
-    nP = -(-S // 128)
+    # the lowering requires idx.shape == source.shape, so for each <=128-lane
+    # output chunk (width qw) the source rows are walked in qw-wide pieces —
+    # NOT fixed 128-wide ones: when Ho % 128 != 0 (e.g. the 704² STARE
+    # protocol's S = 176 stage maps) the ragged output chunk is NARROWER
+    # than a full source piece, and padding a 128-wide piece "to" qw=48 was
+    # a negative pad (the round-3/4 silent 704-leg failure)
+    nQ = -(-Ho // 128)
     los, his = [], []
-    for q in range(nP):
-        qw = min(128, Ho - q * 128)
-        iq = idx[:, q * 128 : q * 128 + qw]
+    for q in range(nQ):
+        qs = q * 128
+        qw = min(128, Ho - qs)
+        iq = idx[:, qs : qs + qw]
         lo = jnp.zeros((C, qw), jnp.float32)
         hi = jnp.zeros((C, qw), jnp.float32)
-        for p in range(nP):
-            piece = xs[:, p * 128 : min((p + 1) * 128, S)]
+        for p in range(-(-S // qw)):
+            ps = p * qw
+            piece = xs[:, ps : min(ps + qw, S)]
             pw = piece.shape[1]
-            if pw != qw:  # ragged tail: pad the piece to the chunk width
+            if pw < qw:  # ragged source tail: pad up to the chunk width
                 piece = jnp.pad(piece, ((0, 0), (0, qw - pw)))
-            g = jnp.take_along_axis(piece, jnp.clip(iq - p * 128, 0, pw - 1), axis=1)
-            lo = jnp.where((iq >= p * 128) & (iq < p * 128 + pw), g, lo)
-            g1 = jnp.take_along_axis(piece, jnp.clip(iq + 1 - p * 128, 0, pw - 1), axis=1)
-            hi = jnp.where((iq + 1 >= p * 128) & (iq + 1 < p * 128 + pw), g1, hi)
+            g = jnp.take_along_axis(piece, jnp.clip(iq - ps, 0, pw - 1), axis=1)
+            lo = jnp.where((iq >= ps) & (iq < ps + pw), g, lo)
+            g1 = jnp.take_along_axis(piece, jnp.clip(iq + 1 - ps, 0, pw - 1), axis=1)
+            hi = jnp.where((iq + 1 >= ps) & (iq + 1 < ps + pw), g1, hi)
         los.append(lo)
         his.append(hi)
-    lo = los[0] if nP == 1 else jnp.concatenate(los, axis=1)
-    hi = his[0] if nP == 1 else jnp.concatenate(his, axis=1)
+    lo = los[0] if nQ == 1 else jnp.concatenate(los, axis=1)
+    hi = his[0] if nQ == 1 else jnp.concatenate(his, axis=1)
     return lo * (1.0 - frac) + hi * frac, lo, hi, frac
 
 
